@@ -1,0 +1,72 @@
+"""gen_a driver: assemble the sparse Jacobian and write the matrix file.
+
+Rebuild of the gen_A executable (src/gen_A.c:459-501):
+  parse options -> load grid -> index maps -> assemble -> canonical CSR ->
+  write matrix file. Same CLI surface: [-h] [-D dbg_lvl] [-o opt_fname]
+  matrix_fname.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from ..grid import gen_ind_maps, load_grid
+from ..io.matrixfile import SparseMatrix, write_matrix_file
+from ..ops import AssemblyOptions, assemble_jacobian
+from ..ops.assemble import to_csr
+from ..ops.fieldsource import FileFieldSource
+from ..utils import dbg, set_dbg_lvl, timed
+from .config import parse_opt_file
+
+
+def run_gen_a(matrix_fname: str, opt_fname: str | None = None,
+              opts: AssemblyOptions | None = None, dbg_lvl: int = 0) -> SparseMatrix:
+    set_dbg_lvl(dbg_lvl)
+    if opts is None:
+        opts = AssemblyOptions()
+        if opt_fname is not None:
+            opts = parse_opt_file(opt_fname, opts)
+    if opts.circ_fname is None:
+        raise ValueError("circ_fname not specified")
+    opts.validate()
+
+    with timed("get_grid_info"):
+        grid = load_grid(opts.circ_fname, opts.reg_fname)
+    with timed("gen_ind_maps"):
+        maps = gen_ind_maps(np.asarray(grid.KMT), grid.km)
+    circ_src = FileFieldSource(opts.circ_fname)
+    tracer_src = (FileFieldSource(opts.tracer_fname)
+                  if opts.tracer_fname is not None else None)
+    with timed("gen_sparse_matrix"):
+        asm = assemble_jacobian(grid, opts, circ_src, tracer_src, maps)
+        nzval, colind, rowptr = to_csr(asm)
+    matrix = SparseMatrix(nzval=nzval, colind=colind, rowptr=rowptr,
+                          coupled_tracer_cnt=opts.coupled_tracer_cnt)
+    with timed("put_matrix_file"):
+        write_matrix_file(matrix_fname, grid, maps, matrix)
+    dbg(1, f"matrix written to {matrix_fname}: flat_len = {matrix.flat_len}, "
+           f"nnz = {matrix.nnz}")
+    return matrix
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="gen_a",
+        description="generate the sparse Jacobian approximation matrix file")
+    p.add_argument("-D", dest="dbg_lvl", type=int, default=0)
+    p.add_argument("-o", dest="opt_fname", default=None)
+    p.add_argument("matrix_fname")
+    args = p.parse_args(argv)
+    try:
+        run_gen_a(args.matrix_fname, args.opt_fname, dbg_lvl=args.dbg_lvl)
+    except Exception as e:  # noqa: BLE001 - CLI boundary
+        print(f"gen_a: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
