@@ -1,0 +1,124 @@
+"""solve driver: factor the matrix once, solve per tracer variable in-place.
+
+Rebuild of both reference solver executables in one program
+(src/solve_ABglobal.c and src/solve_ABdist.c): read the matrix file,
+factor once, then for each comma-separated variable group read the tracer
+field(s) from the inout file, flatten via the index maps, solve, scatter
+back preserving land values, and write in place. The reference's
+replicated/distributed split (-n nprow[,npcol] process grid) maps to the
+backend choice here: single-chip or mesh-sharded TPU factorization; -n is
+accepted for CLI compatibility and sets the requested device count.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from ..grid.indmap import load_ind_maps
+from ..io import fields, netcdf3
+from ..io.matrixfile import read_matrix_file
+from ..solver.api import factor, residual_norm
+from ..utils import dbg, set_dbg_lvl, timed
+
+
+def parse_var_groups(vars_arg: str, coupled_tracer_cnt: int) -> list[list[str]]:
+    """Split the comma-separated -v list into groups of coupled_tracer_cnt
+    (src/solve_ABglobal.c:370-388 consumes vars in groups)."""
+    names = [v for v in vars_arg.split(",") if v]
+    if len(names) % coupled_tracer_cnt:
+        raise ValueError(
+            f"number of vars ({len(names)}) not a multiple of "
+            f"coupled_tracer_cnt ({coupled_tracer_cnt})")
+    return [names[i:i + coupled_tracer_cnt]
+            for i in range(0, len(names), coupled_tracer_cnt)]
+
+
+def run_solve(matrix_fname: str, inout_fname: str, vars_arg: str,
+              backend: str = "auto", dbg_lvl: int = 0,
+              check_residual: bool = True, n_devices: int | None = None) -> dict:
+    set_dbg_lvl(dbg_lvl)
+    with timed("get_sparse_matrix"):
+        matrix = read_matrix_file(matrix_fname)
+    maps = load_ind_maps(matrix_fname)
+    tsl = maps.tracer_state_len
+    nt = matrix.coupled_tracer_cnt
+    if matrix.flat_len != nt * tsl:
+        raise ValueError("matrix flat_len inconsistent with index maps")
+
+    groups = parse_var_groups(vars_arg, nt)
+
+    kwargs = {}
+    if n_devices is not None and backend != "scipy":
+        kwargs["n_devices"] = n_devices
+    with timed("factor"):
+        fac = factor(matrix, backend=backend, **kwargs)
+
+    # gather all RHS groups, solve them in one batched call (multi-RHS
+    # amortization: the reference loops one var at a time, ABglobal.c:370;
+    # batching them is strictly better on TPU), then scatter back
+    hdr = netcdf3.read_header(inout_fname)
+    fields_3d = {}
+    B = np.empty((matrix.flat_len, len(groups)))
+    for g, group in enumerate(groups):
+        for t, var in enumerate(group):
+            dbg(1, f"reading {var} from {inout_fname}")
+            f3 = fields.get_var_double(inout_fname, var, 3, hdr)
+            fields_3d[var] = f3
+            B[t * tsl:(t + 1) * tsl, g] = maps.flatten_field(f3)
+
+    with timed("solve"):
+        X = fac.solve(B)
+    X = np.asarray(X)
+    if X.ndim == 1:
+        X = X[:, None]
+
+    results = {"residuals": {}, "groups": groups}
+    for g, group in enumerate(groups):
+        if check_residual:
+            res = residual_norm(matrix, X[:, g], B[:, g])
+            results["residuals"][",".join(group)] = res
+            dbg(1, f"relative residual for {group}: {res:.3e}")
+        for t, var in enumerate(group):
+            f3 = maps.unflatten_into(fields_3d[var], X[t * tsl:(t + 1) * tsl, g])
+            dbg(1, f"writing {var} to {inout_fname}")
+            fields.put_var_inplace(inout_fname, var, f3)
+    return results
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="solve",
+        description="solve the Jacobian preconditioner systems for tracer "
+                    "variables, updating the inout file in place")
+    p.add_argument("-D", dest="dbg_lvl", type=int, default=0)
+    p.add_argument("-n", dest="npgrid", default=None,
+                   help="nprow[,npcol] (reference compatibility; sets the "
+                        "device count for the distributed backend)")
+    p.add_argument("-v", dest="vars", required=True,
+                   help="comma-separated tracer variable names")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "scipy", "multifrontal"])
+    p.add_argument("matrix_fname")
+    p.add_argument("inout_fname")
+    args = p.parse_args(argv)
+    n_devices = None
+    if args.npgrid:
+        parts = [int(x) for x in args.npgrid.split(",")]
+        nprow = parts[0]
+        npcol = parts[1] if len(parts) > 1 else nprow
+        n_devices = nprow * npcol
+    try:
+        run_solve(args.matrix_fname, args.inout_fname, args.vars,
+                  backend=args.backend, dbg_lvl=args.dbg_lvl,
+                  n_devices=n_devices)
+    except Exception as e:  # noqa: BLE001 - CLI boundary
+        print(f"solve: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -63,7 +63,7 @@ def read_matrix_file(path: str) -> SparseMatrix:
     hdr = netcdf3.read_header(path)
     nnz = hdr.dim_size("nnz")
     flat_len = hdr.dim_size("flat_len_p1") - 1
-    ctc = int(get_var_int(path, "coupled_tracer_cnt", header=hdr))
+    ctc = int(get_var_int(path, "coupled_tracer_cnt", header=hdr).ravel()[0])
     nzval = get_var_double(path, "nzval_row_wise", 1, hdr)
     colind = get_var_int(path, "colind", 1, hdr)
     rowptr = get_var_int(path, "rowptr", 1, hdr)
