@@ -51,8 +51,10 @@ def run_solve(matrix_fname: str, inout_fname: str, vars_arg: str,
     groups = parse_var_groups(vars_arg, nt)
 
     kwargs = {}
-    if n_devices is not None and backend != "scipy":
-        kwargs["n_devices"] = n_devices
+    if backend != "scipy":
+        kwargs["maps"] = maps
+        if n_devices is not None:
+            kwargs["n_devices"] = n_devices
     with timed("factor"):
         fac = factor(matrix, backend=backend, **kwargs)
 
