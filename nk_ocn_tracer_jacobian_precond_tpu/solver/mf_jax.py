@@ -1,0 +1,354 @@
+"""Multifrontal numeric phase — JAX/TPU implementation.
+
+Executes the symbolic plan as *rounds* of batched dense linear algebra:
+all fronts in a round are padded to one (B, N, N) tensor, assembled by a
+single scatter of the CSR values, extended with their children's Schur
+complements via padded gathers (no giant scatter index tensors), and
+partially factored with a blocked, no-pivot LU whose panel updates are
+MXU GEMMs. This is the TPU replacement for SuperLU_DIST's pdgstrf
+supernodal factorization (reference SuperLU_brief_tree.txt:12-14); like
+SuperLU_DIST's static-pivoting GESP strategy, accuracy lost to restricted
+pivoting is recovered by float64 iterative refinement.
+
+Precision: factors are computed in PREC (float32 on TPU by default —
+MXU-friendly; float64 under tests on CPU), solves run in the same
+precision, refinement always accumulates the residual in float64.
+
+Shape discipline: every round's (B, P, N) is padded up to multiples of
+LANE=128 in the matrix dimensions so XLA tiles cleanly onto the MXU and
+compiled kernels are reused across rounds/matrices with the same padded
+shapes. The eliminated block's padding carries an identity diagonal so the
+unpivoted LU never divides by zero.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.lax.linalg import triangular_solve
+
+from ..io.matrixfile import SparseMatrix
+from ..utils import dbg, timed
+from .symbolic import SymbolicFactorization
+
+LANE = 128
+PANEL = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return max(m, (x + m - 1) // m * m)
+
+
+def _pad_dim(x: int) -> int:
+    """Pad a front dimension: fine granularity for small fronts (keeps
+    test/compile cost down), LANE alignment once fronts are MXU-sized."""
+    if x <= 64:
+        return _round_up(x, 8)
+    if x <= 256:
+        return _round_up(x, 32)
+    return _round_up(x, LANE)
+
+
+@dataclass
+class ChildLink:
+    src_round: int
+    src_slot: int          # batch slot within the source round's Schur stack
+    dst_slot: int          # batch slot in this round
+    inv: np.ndarray        # (N,) position in child's border (or M_src = pad)
+
+
+@dataclass
+class RoundPlan:
+    node_ids: list[int]
+    B: int
+    P: int                 # padded eliminated size
+    N: int                 # padded front size
+    M: int                 # N - P (padded border size)
+    a_pos: np.ndarray      # scatter positions (flat into B*N*N) for A values
+    a_src: np.ndarray      # indices into CSR nzval
+    eye_pos: np.ndarray    # flat positions that get identity padding
+    cells_own: np.ndarray  # (B, P) matrix indices of eliminated cells (pad -> flat_len)
+    cells_bor: np.ndarray  # (B, M) matrix indices of border cells (pad -> flat_len)
+    children: list[ChildLink]
+
+
+def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix) -> list[RoundPlan]:
+    """Compile the symbolic factorization into static per-round arrays.
+
+    Depends only on the sparsity pattern; reusable across matrices with
+    the same pattern (every Newton iteration of a spin-up run).
+
+    Entry routing is fully vectorized: each CSR entry (r, c) is assembled
+    exactly once, in the front owning the earlier-eliminated of the two
+    cells (if that is c, the entry lands in the owned-column block; if r,
+    in the owned-row x border block) — the standard multifrontal assembly
+    rule expressed as array ops over all nnz at once.
+    """
+    flat_len = sym.flat_len
+    csr_rowptr = np.asarray(matrix.rowptr)
+    csr_colind = np.asarray(matrix.colind, dtype=np.int64)
+    nnz = len(csr_colind)
+
+    # --- global per-cell tables -------------------------------------------
+    cell_node = np.empty(flat_len, dtype=np.int64)   # owning node per cell
+    cell_elim = np.empty(flat_len, dtype=np.int64)   # elimination position
+    for nid, f in sym.fronts.items():
+        cell_node[f.cells[:f.p]] = nid
+        # per-cell elimination position: order within the permutation
+    cell_elim[sym.perm] = np.arange(flat_len)
+
+    # --- route every CSR entry to its assembly front ----------------------
+    rows = np.repeat(np.arange(flat_len, dtype=np.int64), np.diff(csr_rowptr))
+    cols = csr_colind
+    col_first = cell_elim[cols] <= cell_elim[rows]
+    entry_node = np.where(col_first, cell_node[cols], cell_node[rows])
+    entry_src = np.arange(nnz, dtype=np.int64)
+
+    # group entries by front
+    order = np.argsort(entry_node, kind="stable")
+    sorted_nodes = entry_node[order]
+    bounds = np.searchsorted(sorted_nodes,
+                             np.arange(len(sym.fronts) + 1))
+
+    plans: list[RoundPlan] = []
+    slot_of_node: dict[int, tuple[int, int]] = {}
+    for rnd, node_ids in enumerate(sym.rounds):
+        B = len(node_ids)
+        maxp = max(sym.fronts[nid].p for nid in node_ids)
+        maxm = max(sym.fronts[nid].n - sym.fronts[nid].p for nid in node_ids)
+        P = _pad_dim(maxp)
+        M = _pad_dim(maxm) if maxm > 0 else 0
+        N = P + M
+        a_pos_l, a_src_l, eye_l = [], [], []
+        cells_own = np.full((B, P), flat_len, dtype=np.int64)
+        cells_bor = np.full((B, M), flat_len, dtype=np.int64)
+        children: list[ChildLink] = []
+        for b, nid in enumerate(node_ids):
+            f = sym.fronts[nid]
+            slot_of_node[nid] = (rnd, b)
+            p, n = f.p, f.n
+            cells_own[b, :p] = f.cells[:p]
+            if n > p:
+                cells_bor[b, :n - p] = f.cells[p:]
+            # padded front position per cell, via sorted lookup
+            fpos = np.concatenate([np.arange(p), P + np.arange(n - p)])
+            sort_idx = np.argsort(f.cells)
+            s_cells = f.cells[sort_idx]
+            s_pos = fpos[sort_idx]
+
+            def pos_of(cells_arr):
+                loc = np.searchsorted(s_cells, cells_arr)
+                return s_pos[loc]
+
+            ent = order[bounds[nid]:bounds[nid + 1]]
+            if len(ent):
+                er, ecol = rows[ent], cols[ent]
+                rp = pos_of(er)
+                cp = pos_of(ecol)
+                a_pos_l.append((b * N + rp) * N + cp)
+                a_src_l.append(entry_src[ent])
+            eye_l.append((b * N + np.arange(p, P)) * N + np.arange(p, P))
+            for ch in f.children:
+                cf = sym.fronts[ch]
+                src_rnd, src_slot = slot_of_node[ch]
+                M_src = plans[src_rnd].M
+                inv = np.full(N, M_src, dtype=np.int64)
+                q = pos_of(cf.cells[cf.p:])
+                inv[q] = np.arange(cf.n - cf.p)
+                children.append(ChildLink(src_round=src_rnd, src_slot=src_slot,
+                                          dst_slot=b, inv=inv))
+        plans.append(RoundPlan(
+            node_ids=list(node_ids), B=B, P=P, N=N, M=M,
+            a_pos=(np.concatenate(a_pos_l) if a_pos_l
+                   else np.empty(0, np.int64)),
+            a_src=(np.concatenate(a_src_l) if a_src_l
+                   else np.empty(0, np.int64)),
+            eye_pos=(np.concatenate(eye_l) if eye_l
+                     else np.empty(0, np.int64)),
+            cells_own=cells_own, cells_bor=cells_bor, children=children))
+    return plans
+
+
+# --------------------------------------------------------------------------
+# jitted kernels (shapes static per round; cached across rounds/matrices)
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("B", "N"))
+def _assemble(avals, a_pos, eye_pos, B: int, N: int):
+    F = jnp.zeros((B * N * N,), dtype=avals.dtype)
+    F = F.at[a_pos].add(avals)
+    F = F.at[eye_pos].add(jnp.ones((), avals.dtype))
+    return F.reshape(B, N, N)
+
+
+@jax.jit
+def _extend_add(F, S_src, inv, dst_slot):
+    """F[dst] += S_src[src_pad][inv][:, inv] with S padded by a zero row/col."""
+    m = S_src.shape[0]
+    Sp = jnp.pad(S_src, ((0, 1), (0, 1)))
+    add = Sp[inv][:, inv]
+    return F.at[dst_slot].add(add)
+
+
+def _unblocked_lu(D):
+    """(B, T, T) in-place no-pivot LU via T rank-1 updates (VPU work)."""
+    T = D.shape[-1]
+
+    def body(k, D):
+        piv = D[:, k, k][:, None]
+        col = D[:, :, k] / piv
+        rows = jnp.arange(T)[None, :]
+        col = jnp.where(rows > k, col, 0.0)[:, :, None]       # (B, T, 1)
+        row = D[:, k, :]
+        row = jnp.where(rows > k, row, 0.0)[:, None, :]       # (B, 1, T)
+        D = D - col * row
+        D = D.at[:, :, k].set(jnp.where(rows > k, col[:, :, 0], D[:, :, k]))
+        return D
+
+    return jax.lax.fori_loop(0, T, body, D)
+
+
+@functools.partial(jax.jit, static_argnames=("P",))
+def _partial_factor(F, P: int):
+    """Blocked LU of F[:, :P, :P]; TRSM of the off-blocks; Schur update.
+
+    Returns (F_factored, S) where F holds L\\U in [:P,:P], U12 in [:P,P:],
+    L21 in [P:,:P], and S = F22 - L21 @ U12.
+    """
+    N = F.shape[-1]
+    nb = (P + PANEL - 1) // PANEL
+    for t in range(nb):
+        off = t * PANEL
+        T = min(PANEL, P - off)
+        D = jax.lax.dynamic_slice(F, (0, off, off), (F.shape[0], T, T))
+        D = _unblocked_lu(D)
+        F = jax.lax.dynamic_update_slice(F, D, (0, off, off))
+        rest = N - off - T
+        if rest > 0:
+            # rows to the right: U-part = L_D^{-1} A(off:off+T, off+T:)
+            A12 = jax.lax.dynamic_slice(F, (0, off, off + T),
+                                        (F.shape[0], T, rest))
+            A12 = triangular_solve(D, A12, left_side=True, lower=True,
+                                   unit_diagonal=True)
+            F = jax.lax.dynamic_update_slice(F, A12, (0, off, off + T))
+            # cols below: L-part = A(off+T:, off:off+T) U_D^{-1}
+            A21 = jax.lax.dynamic_slice(F, (0, off + T, off),
+                                        (F.shape[0], rest, T))
+            A21 = triangular_solve(D, A21, left_side=False, lower=False,
+                                   unit_diagonal=False)
+            F = jax.lax.dynamic_update_slice(F, A21, (0, off + T, off))
+            # trailing update (MXU; HIGHEST precision — a direct solver
+            # cannot afford the TPU's default bf16 matmul passes)
+            A22 = jax.lax.dynamic_slice(F, (0, off + T, off + T),
+                                        (F.shape[0], rest, rest))
+            A22 = A22 - jnp.matmul(A21, A12,
+                                   preferred_element_type=A22.dtype,
+                                   precision=jax.lax.Precision.HIGHEST)
+            F = jax.lax.dynamic_update_slice(F, A22, (0, off + T, off + T))
+    S = F[:, P:, P:]
+    return F, S
+
+
+@jax.jit
+def _fwd_round(W, F, cells_own, cells_bor):
+    """Forward substitution for one round, batched over fronts.
+
+    W is (flat_len+1, nrhs) with a trailing dump row for padding."""
+    P = cells_own.shape[1]
+    L11 = F[:, :P, :P]
+    L21 = F[:, P:, :P]
+    rhs = W[cells_own]                                  # (B, P, nrhs)
+    y = triangular_solve(L11, rhs, left_side=True, lower=True,
+                         unit_diagonal=True)
+    W = W.at[cells_own.reshape(-1)].set(y.reshape(-1, y.shape[-1]), mode="drop")
+    upd = jnp.matmul(L21, y, preferred_element_type=y.dtype,
+                     precision=jax.lax.Precision.HIGHEST)
+    W = W.at[cells_bor.reshape(-1)].add(-upd.reshape(-1, y.shape[-1]),
+                                        mode="drop")
+    return W
+
+
+@jax.jit
+def _bwd_round(W, F, cells_own, cells_bor):
+    P = cells_own.shape[1]
+    U11 = F[:, :P, :P]
+    U12 = F[:, :P, P:]
+    rhs = W[cells_own]
+    xb = W[cells_bor]
+    rhs = rhs - jnp.matmul(U12, xb, preferred_element_type=rhs.dtype,
+                           precision=jax.lax.Precision.HIGHEST)
+    x = triangular_solve(U11, rhs, left_side=True, lower=False,
+                         unit_diagonal=False)
+    W = W.at[cells_own.reshape(-1)].set(x.reshape(-1, x.shape[-1]), mode="drop")
+    return W
+
+
+class JaxMultifrontal:
+    def __init__(self, sym: SymbolicFactorization, matrix: SparseMatrix,
+                 precision=None):
+        self.sym = sym
+        if precision is None:
+            precision = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.prec = precision
+        # triangular solves lower to blocked matmuls that follow the global
+        # default matmul precision; bf16 passes would wreck a direct solver
+        jax.config.update("jax_default_matmul_precision", "highest")
+        try:  # persistent cache: the round kernels recompile across runs
+            import os
+            cache = os.environ.get("NK_TPU_JAX_CACHE",
+                                   os.path.expanduser("~/.nk_tpu_jax_cache"))
+            jax.config.update("jax_compilation_cache_dir", cache)
+        except Exception:
+            pass
+        with timed("build round plans"):
+            self.plans = build_plan(sym, matrix)
+        self.flat_len = sym.flat_len
+        self._factorize(matrix)
+
+    def _factorize(self, matrix: SparseMatrix) -> None:
+        nzval = jnp.asarray(matrix.nzval, dtype=self.prec)
+        self.factors = []      # device (B, N, N) per round
+        schur: list = [None] * len(self.plans)
+        # free a round's Schur stack once every front in it has been
+        # consumed by its parent (bounds live HBM to ~two tree levels)
+        uses = [0] * len(self.plans)
+        for plan in self.plans:
+            for link in plan.children:
+                uses[link.src_round] += 1
+        for rnd, plan in enumerate(self.plans):
+            avals = nzval[jnp.asarray(plan.a_src)]
+            F = _assemble(avals, jnp.asarray(plan.a_pos),
+                          jnp.asarray(plan.eye_pos), B=plan.B, N=plan.N)
+            for link in plan.children:
+                F = _extend_add(F, schur[link.src_round][link.src_slot],
+                                jnp.asarray(link.inv),
+                                link.dst_slot)
+                uses[link.src_round] -= 1
+                if uses[link.src_round] == 0:
+                    schur[link.src_round] = None
+            F, S = _partial_factor(F, P=plan.P)
+            self.factors.append(F)
+            schur[rnd] = S
+        del schur
+
+    def solve(self, b: np.ndarray) -> np.ndarray:
+        B = np.asarray(b, dtype=np.float64)
+        single = B.ndim == 1
+        if single:
+            B = B[:, None]
+        W = jnp.zeros((self.flat_len + 1, B.shape[1]), dtype=self.prec)
+        W = W.at[:self.flat_len].set(jnp.asarray(B, dtype=self.prec))
+        owns = [jnp.asarray(p.cells_own) for p in self.plans]
+        bors = [jnp.asarray(p.cells_bor) for p in self.plans]
+        for rnd, plan in enumerate(self.plans):
+            W = _fwd_round(W, self.factors[rnd], owns[rnd], bors[rnd])
+        for rnd in range(len(self.plans) - 1, -1, -1):
+            W = _bwd_round(W, self.factors[rnd], owns[rnd], bors[rnd])
+        X = np.asarray(W[:self.flat_len], dtype=np.float64)
+        return X[:, 0] if single else X

@@ -1,0 +1,72 @@
+"""JAX multifrontal engine tests (simulated CPU devices, x64 enabled)."""
+
+import numpy as np
+import pytest
+
+from nk_ocn_tracer_jacobian_precond_tpu.drivers.gen_a import run_gen_a
+from nk_ocn_tracer_jacobian_precond_tpu.grid.indmap import load_ind_maps
+from nk_ocn_tracer_jacobian_precond_tpu.io.matrixfile import read_matrix_file
+from nk_ocn_tracer_jacobian_precond_tpu.ops import AssemblyOptions, PerTracerOptions
+from nk_ocn_tracer_jacobian_precond_tpu.solver.mf import MultifrontalFactorization
+from nk_ocn_tracer_jacobian_precond_tpu.testdata import make_circ_file
+
+IMT, JMT, KM = 20, 16, 6
+
+
+@pytest.fixture(scope="module")
+def problem(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mfjax")
+    circ = str(d / "circ.nc")
+    make_circ_file(circ, imt=IMT, jmt=JMT, km=KM, seed=33)
+    mat = str(d / "matrix.nc")
+    pt = PerTracerOptions(sink_type="const", sink_rate=1.21e-4)
+    opts = AssemblyOptions(circ_fname=circ, hmix_type="isop_file",
+                           vmix_type="file", per_tracer=[pt])
+    run_gen_a(mat, opts=opts)
+    return read_matrix_file(mat), load_ind_maps(mat)
+
+
+def test_jax_engine_matches_numpy(problem):
+    matrix, maps = problem
+    mf_np = MultifrontalFactorization(matrix, impl="numpy", maps=maps)
+    mf_jx = MultifrontalFactorization(matrix, impl="jax", maps=maps,
+                                      sym=mf_np.sym)
+    rng = np.random.default_rng(3)
+    B = rng.standard_normal((matrix.flat_len, 2))
+    X_np = mf_np.solve(B)
+    X_jx = mf_jx.solve(B)
+    np.testing.assert_allclose(X_jx, X_np, rtol=1e-9, atol=1e-12)
+
+
+def test_jax_engine_residual(problem):
+    matrix, maps = problem
+    mf = MultifrontalFactorization(matrix, impl="jax", maps=maps)
+    rng = np.random.default_rng(4)
+    B = rng.standard_normal((matrix.flat_len, 4))
+    X = mf.solve(B)
+    A = matrix.to_scipy()
+    res = np.linalg.norm(A @ X - B, axis=0) / np.linalg.norm(B, axis=0)
+    assert res.max() < 1e-11, res
+
+
+def test_jax_engine_coupled_tracers(tmp_path):
+    circ = str(tmp_path / "circ.nc")
+    make_circ_file(circ, imt=12, jmt=10, km=4, seed=35)
+    mat = str(tmp_path / "m.nc")
+    pts = [PerTracerOptions(sink_type="const", sink_rate=2e-4),
+           PerTracerOptions(sink_type="const", sink_rate=1e-4)]
+    opts = AssemblyOptions(circ_fname=circ, hmix_type="const",
+                           vmix_type="const", coupled_tracer_cnt=2,
+                           per_tracer=pts,
+                           coupled_tracer_type="OCMIP_BGC_PO4_DOP")
+    run_gen_a(mat, opts=opts)
+    matrix = read_matrix_file(mat)
+    maps = load_ind_maps(mat)
+    mf = MultifrontalFactorization(matrix, impl="jax", maps=maps, leaf_size=6)
+    rng = np.random.default_rng(5)
+    b = rng.standard_normal(matrix.flat_len)
+    x = mf.solve(b)
+    A = matrix.to_scipy()
+    # 1e-10 is the workflow's accuracy target (BASELINE.md); this matrix's
+    # conditioning puts scipy's SuperLU at ~1.2e-10 on the same system
+    assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) < 1e-10
