@@ -182,7 +182,10 @@ class StencilOperator:
             entries.append((("cross",) + key, pad_j(self.cross[key], 1), 1))
         kinds = [e[0] for e in entries]
 
-        from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
 
         xspec = P(None, None, axis, None)
         pspecs = tuple(
