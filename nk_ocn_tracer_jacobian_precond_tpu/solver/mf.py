@@ -17,11 +17,39 @@ from ..utils import dbg, timed
 from .symbolic import SymbolicFactorization, symbolic_from_matrix
 
 
+def equilibrate(matrix: SparseMatrix):
+    """Power-of-2 row/column equilibration (the rebuild of SuperLU's
+    dgsequ/dlaqgs scaling step, which the reference's pdgssvx drivers run
+    by default). Scaling by exact powers of two keeps the scaled entries
+    bit-representable and dramatically reduces no-pivot element growth in
+    the low-precision factorization. Returns (scaled_matrix, dr, dc) with
+    (Dr A Dc) y = Dr b, x = Dc y."""
+    from scipy.sparse import csr_matrix
+
+    A = matrix.to_scipy().tocsr()
+    n = A.shape[0]
+    absA = abs(A)
+    rmax = np.asarray(absA.max(axis=1).todense()).ravel()
+    rmax[rmax == 0] = 1.0
+    dr = np.exp2(-np.round(np.log2(rmax)))
+    As = csr_matrix((A.data * np.repeat(dr, np.diff(A.indptr)),
+                     A.indices, A.indptr), shape=A.shape)
+    cmax = np.asarray(abs(As).max(axis=0).todense()).ravel()
+    cmax[cmax == 0] = 1.0
+    dc = np.exp2(-np.round(np.log2(cmax)))
+    As = csr_matrix((As.data * dc[As.indices], As.indices, As.indptr),
+                    shape=A.shape)
+    scaled = SparseMatrix(nzval=As.data, colind=As.indices.astype(np.int64),
+                          rowptr=As.indptr.astype(np.int64),
+                          coupled_tracer_cnt=matrix.coupled_tracer_cnt)
+    return scaled, dr, dc
+
+
 class MultifrontalFactorization:
     def __init__(self, matrix: SparseMatrix, impl: str = "auto",
                  leaf_size: int = 32, refine_tol: float = 1e-13,
                  maps=None, sym: SymbolicFactorization | None = None,
-                 n_devices: int | None = None):
+                 n_devices: int | None = None, equilibrate_matrix: bool = True):
         self.matrix = matrix
         self.A = matrix.to_scipy()
         self.refine_tol = refine_tol
@@ -34,15 +62,28 @@ class MultifrontalFactorization:
         if impl == "auto":
             impl = "jax" if _jax_usable() else "numpy"
         self.impl = impl
+        if equilibrate_matrix:
+            with timed("equilibration"):
+                fac_matrix, self.dr, self.dc = equilibrate(matrix)
+        else:
+            fac_matrix, self.dr, self.dc = matrix, None, None
         with timed(f"numeric factorization ({impl})"):
             if impl == "numpy":
                 from .mf_numpy import NumpyMultifrontal
-                self.engine = NumpyMultifrontal(sym, matrix)
+                self.engine = NumpyMultifrontal(sym, fac_matrix)
             elif impl == "jax":
                 from .mf_jax import JaxMultifrontal
-                self.engine = JaxMultifrontal(sym, matrix)
+                self.engine = JaxMultifrontal(sym, fac_matrix)
             else:
                 raise ValueError(f"unknown multifrontal impl: {impl}")
+
+    def _precond_solve(self, b: np.ndarray) -> np.ndarray:
+        """Apply the (scaled) factorization: x ~= A^{-1} b."""
+        if self.dr is None:
+            return np.asarray(self.engine.solve(b), dtype=np.float64)
+        scaled_b = self.dr[:, None] * b if b.ndim == 2 else self.dr * b
+        y = np.asarray(self.engine.solve(scaled_b), dtype=np.float64)
+        return self.dc[:, None] * y if y.ndim == 2 else self.dc * y
 
     def solve(self, b: np.ndarray, refine: bool = True) -> np.ndarray:
         from .api import iterative_refinement
@@ -50,12 +91,38 @@ class MultifrontalFactorization:
         single = b.ndim == 1
         B = b[:, None] if single else b
         with timed("mf solve"):
-            X = np.asarray(self.engine.solve(B), dtype=np.float64)
+            X = self._precond_solve(B)
         if refine:
             with timed("mf refine"):
-                X = iterative_refinement(self.A, self.engine.solve, B, X,
+                X = iterative_refinement(self.A, self._precond_solve, B, X,
                                          tol=self.refine_tol)
+            rel = _rel_residuals(self.A, X, B)
+            if rel.max() > 100 * self.refine_tol:
+                # plain refinement stalled or diverged (element growth x
+                # low-precision factors); fall back to Krylov-accelerated
+                # refinement with the factorization as preconditioner
+                with timed("mf gmres-ir"):
+                    X = self._gmres_ir(B, X)
         return X[:, 0] if single else X
+
+    def _gmres_ir(self, B: np.ndarray, X0: np.ndarray) -> np.ndarray:
+        from scipy.sparse.linalg import LinearOperator, gmres
+        n = self.A.shape[0]
+        M = LinearOperator((n, n), matvec=lambda v: self._precond_solve(v))
+        X = np.empty_like(X0)
+        for j in range(B.shape[1]):
+            x, info = gmres(self.A, B[:, j], x0=X0[:, j], M=M,
+                            rtol=self.refine_tol, restart=30, maxiter=20)
+            X[:, j] = x
+            dbg(1, f"gmres-ir rhs {j}: info={info}")
+        return X
+
+
+def _rel_residuals(A, X, B) -> np.ndarray:
+    r = B - A @ X
+    bn = np.linalg.norm(B, axis=0)
+    bn[bn == 0] = 1.0
+    return np.linalg.norm(r, axis=0) / bn
 
 
 def _maps_from_matrix(matrix: SparseMatrix):

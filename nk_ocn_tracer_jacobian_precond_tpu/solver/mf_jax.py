@@ -77,7 +77,9 @@ class RoundPlan:
     children: list[ChildLink]
 
 
-def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix) -> list[RoundPlan]:
+def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
+               mem_budget_bytes: float = 1.5e9,
+               bytes_per_elem: int = 4) -> list[RoundPlan]:
     """Compile the symbolic factorization into static per-round arrays.
 
     Depends only on the sparsity pattern; reusable across matrices with
@@ -115,9 +117,30 @@ def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix) -> list[RoundPl
     bounds = np.searchsorted(sorted_nodes,
                              np.arange(len(sym.fronts) + 1))
 
+    # split each dependency round into memory-bounded, size-homogeneous
+    # chunks: fronts sorted by size so each chunk's padding is tight, and
+    # B_chunk * N^2 stays under the budget (large rounds at 1-degree scale
+    # would otherwise materialize tens of GB at once)
+    chunked_rounds: list[list[int]] = []
+    for node_ids in sym.rounds:
+        by_size = sorted(node_ids, key=lambda nid: -sym.fronts[nid].n)
+        chunk: list[int] = []
+        chunk_n = 0
+        for nid in by_size:
+            n_pad = _pad_dim(sym.fronts[nid].p) + _pad_dim(
+                max(sym.fronts[nid].n - sym.fronts[nid].p, 0))
+            if chunk and (len(chunk) + 1) * chunk_n * chunk_n * \
+                    bytes_per_elem > mem_budget_bytes:
+                chunked_rounds.append(chunk)
+                chunk, chunk_n = [], 0
+            chunk.append(nid)
+            chunk_n = max(chunk_n, n_pad)
+        if chunk:
+            chunked_rounds.append(chunk)
+
     plans: list[RoundPlan] = []
     slot_of_node: dict[int, tuple[int, int]] = {}
-    for rnd, node_ids in enumerate(sym.rounds):
+    for rnd, node_ids in enumerate(chunked_rounds):
         B = len(node_ids)
         maxp = max(sym.fronts[nid].p for nid in node_ids)
         maxm = max(sym.fronts[nid].n - sym.fronts[nid].p for nid in node_ids)
@@ -336,6 +359,7 @@ class JaxMultifrontal:
             self.factors.append(F)
             schur[rnd] = S
         del schur
+        jax.block_until_ready(self.factors)
 
     def solve(self, b: np.ndarray) -> np.ndarray:
         B = np.asarray(b, dtype=np.float64)
