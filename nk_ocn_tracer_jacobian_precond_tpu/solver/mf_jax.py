@@ -45,13 +45,18 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pad_dim(x: int) -> int:
-    """Pad a front dimension: fine granularity for small fronts (keeps
-    test/compile cost down), LANE alignment once fronts are MXU-sized."""
-    if x <= 64:
-        return _round_up(x, 8)
-    if x <= 256:
-        return _round_up(x, 32)
-    return _round_up(x, LANE)
+    """Pad a front dimension to a power of two (capped granularity for
+    very large fronts). Coarse bucketing maximizes compiled-kernel reuse
+    across rounds and matrices — compile time is a first-order cost on a
+    remote-compile TPU — at a bounded (<2x linear) padding overhead."""
+    if x <= 8:
+        return 8
+    if x >= 2048:
+        return _round_up(x, 512)
+    p = 8
+    while p < x:
+        p *= 2
+    return p
 
 
 @dataclass
@@ -237,8 +242,7 @@ def _unblocked_lu(D):
     return jax.lax.fori_loop(0, T, body, D)
 
 
-@functools.partial(jax.jit, static_argnames=("P",))
-def _partial_factor(F, P: int):
+def _partial_factor_body(F, P: int):
     """Blocked LU of F[:, :P, :P]; TRSM of the off-blocks; Schur update.
 
     Returns (F_factored, S) where F holds L\\U in [:P,:P], U12 in [:P,P:],
@@ -278,7 +282,9 @@ def _partial_factor(F, P: int):
     return F, S
 
 
-@jax.jit
+_partial_factor = jax.jit(_partial_factor_body, static_argnames=("P",))
+
+
 def _fwd_round(W, F, cells_own, cells_bor):
     """Forward substitution for one round, batched over fronts.
 
@@ -297,7 +303,6 @@ def _fwd_round(W, F, cells_own, cells_bor):
     return W
 
 
-@jax.jit
 def _bwd_round(W, F, cells_own, cells_bor):
     P = cells_own.shape[1]
     U11 = F[:, :P, :P]
@@ -313,6 +318,12 @@ def _bwd_round(W, F, cells_own, cells_bor):
 
 
 class JaxMultifrontal:
+    """TPU numeric engine. The whole numeric factorization is ONE compiled
+    XLA program (chunks unrolled; XLA's buffer liveness frees consumed
+    Schur stacks), and the whole forward+backward triangular sweep is ONE
+    compiled program per nrhs — a single device dispatch per factor/solve,
+    which matters enormously on a remote-dispatch TPU link."""
+
     def __init__(self, sym: SymbolicFactorization, matrix: SparseMatrix,
                  precision=None):
         self.sym = sym
@@ -322,7 +333,7 @@ class JaxMultifrontal:
         # triangular solves lower to blocked matmuls that follow the global
         # default matmul precision; bf16 passes would wreck a direct solver
         jax.config.update("jax_default_matmul_precision", "highest")
-        try:  # persistent cache: the round kernels recompile across runs
+        try:  # persistent cache: kernels recompile across processes
             import os
             cache = os.environ.get("NK_TPU_JAX_CACHE",
                                    os.path.expanduser("~/.nk_tpu_jax_cache"))
@@ -332,47 +343,100 @@ class JaxMultifrontal:
         with timed("build round plans"):
             self.plans = build_plan(sym, matrix)
         self.flat_len = sym.flat_len
+        self._consts = self._device_constants()
+        self._solve_jit = {}
         self._factorize(matrix)
+
+    def _device_constants(self):
+        """Plan index arrays as device buffers, passed (not embedded) into
+        the compiled programs."""
+        c = []
+        for p in self.plans:
+            c.append(dict(
+                a_pos=jnp.asarray(p.a_pos), a_src=jnp.asarray(p.a_src),
+                eye_pos=jnp.asarray(p.eye_pos),
+                own=jnp.asarray(p.cells_own), bor=jnp.asarray(p.cells_bor),
+                inv=[jnp.asarray(l.inv) for l in p.children]))
+        return c
+
+    # -- factorization as one program --------------------------------------
+
+    def _factor_program(self, nzval, flat_consts):
+        consts = self._unflatten_consts(flat_consts)
+        factors = []
+        schur: list = [None] * len(self.plans)
+        for rnd, plan in enumerate(self.plans):
+            cc = consts[rnd]
+            avals = nzval[cc["a_src"]]
+            F = jnp.zeros((plan.B * plan.N * plan.N,), dtype=nzval.dtype)
+            F = F.at[cc["a_pos"]].add(avals)
+            F = F.at[cc["eye_pos"]].add(jnp.ones((), nzval.dtype))
+            F = F.reshape(plan.B, plan.N, plan.N)
+            for li, link in enumerate(plan.children):
+                S = schur[link.src_round][link.src_slot]
+                Sp = jnp.pad(S, ((0, 1), (0, 1)))
+                inv = cc["inv"][li]
+                F = F.at[link.dst_slot].add(Sp[inv][:, inv])
+            F, S = _partial_factor_body(F, P=plan.P)
+            factors.append(F)
+            schur[rnd] = S
+        return tuple(factors)
+
+    def _flatten_consts(self):
+        flat = []
+        for cc in self._consts:
+            flat.extend([cc["a_pos"], cc["a_src"], cc["eye_pos"],
+                         cc["own"], cc["bor"]])
+            flat.extend(cc["inv"])
+        return tuple(flat)
+
+    def _unflatten_consts(self, flat):
+        out = []
+        i = 0
+        for p in self.plans:
+            cc = dict(a_pos=flat[i], a_src=flat[i + 1], eye_pos=flat[i + 2],
+                      own=flat[i + 3], bor=flat[i + 4])
+            i += 5
+            cc["inv"] = list(flat[i:i + len(p.children)])
+            i += len(p.children)
+            out.append(cc)
+        return out
 
     def _factorize(self, matrix: SparseMatrix) -> None:
         nzval = jnp.asarray(matrix.nzval, dtype=self.prec)
-        self.factors = []      # device (B, N, N) per round
-        schur: list = [None] * len(self.plans)
-        # free a round's Schur stack once every front in it has been
-        # consumed by its parent (bounds live HBM to ~two tree levels)
-        uses = [0] * len(self.plans)
-        for plan in self.plans:
-            for link in plan.children:
-                uses[link.src_round] += 1
-        for rnd, plan in enumerate(self.plans):
-            avals = nzval[jnp.asarray(plan.a_src)]
-            F = _assemble(avals, jnp.asarray(plan.a_pos),
-                          jnp.asarray(plan.eye_pos), B=plan.B, N=plan.N)
-            for link in plan.children:
-                F = _extend_add(F, schur[link.src_round][link.src_slot],
-                                jnp.asarray(link.inv),
-                                link.dst_slot)
-                uses[link.src_round] -= 1
-                if uses[link.src_round] == 0:
-                    schur[link.src_round] = None
-            F, S = _partial_factor(F, P=plan.P)
-            self.factors.append(F)
-            schur[rnd] = S
-        del schur
-        jax.block_until_ready(self.factors)
+        with timed("factor dispatch"):
+            fn = jax.jit(self._factor_program)
+            self.factors = fn(nzval, self._flatten_consts())
+            jax.block_until_ready(self.factors)
+
+    def refactor(self, matrix: SparseMatrix) -> None:
+        """New numeric values, same pattern (Newton-iteration reuse)."""
+        self._factorize(matrix)
+
+    # -- solve as one program ----------------------------------------------
+
+    def _solve_program(self, W, factors, flat_consts):
+        consts = self._unflatten_consts(flat_consts)
+        for rnd in range(len(self.plans)):
+            W = _fwd_round(W, factors[rnd], consts[rnd]["own"],
+                           consts[rnd]["bor"])
+        for rnd in range(len(self.plans) - 1, -1, -1):
+            W = _bwd_round(W, factors[rnd], consts[rnd]["own"],
+                           consts[rnd]["bor"])
+        return W
 
     def solve(self, b: np.ndarray) -> np.ndarray:
         B = np.asarray(b, dtype=np.float64)
         single = B.ndim == 1
         if single:
             B = B[:, None]
-        W = jnp.zeros((self.flat_len + 1, B.shape[1]), dtype=self.prec)
-        W = W.at[:self.flat_len].set(jnp.asarray(B, dtype=self.prec))
-        owns = [jnp.asarray(p.cells_own) for p in self.plans]
-        bors = [jnp.asarray(p.cells_bor) for p in self.plans]
-        for rnd, plan in enumerate(self.plans):
-            W = _fwd_round(W, self.factors[rnd], owns[rnd], bors[rnd])
-        for rnd in range(len(self.plans) - 1, -1, -1):
-            W = _bwd_round(W, self.factors[rnd], owns[rnd], bors[rnd])
+        nrhs = B.shape[1]
+        if nrhs not in self._solve_jit:
+            self._solve_jit[nrhs] = jax.jit(self._solve_program,
+                                            donate_argnums=(0,))
+        Wh = np.zeros((self.flat_len + 1, nrhs), dtype=np.float64)
+        Wh[:self.flat_len] = B
+        W = jnp.asarray(Wh, dtype=self.prec)
+        W = self._solve_jit[nrhs](W, self.factors, self._flatten_consts())
         X = np.asarray(W[:self.flat_len], dtype=np.float64)
         return X[:, 0] if single else X
