@@ -213,12 +213,20 @@ def to_csr(asm: Assembly):
     rows = np.concatenate(rows_chunks)
     cols = np.concatenate(cols_chunks)
     vals = np.concatenate(vals_chunks)
+    flat_len = nt * tsl
+
+    # canonicalize: sort by (row, col, emission order); reduce duplicates
+    # left-to-right, reproducing sum_dup_vals' in-row first-occurrence
+    # accumulation; strip exact zeros. Native C++ path when available.
+    from ..native import canonicalize_coo
+    native = canonicalize_coo(rows, cols, vals, flat_len)
+    if native is not None:
+        nzval, colind, rowptr = native
+        dbg(1, f"nnz = {len(nzval)}")
+        return nzval, colind, rowptr
+
     seq = np.concatenate([np.full(len(c), idx, dtype=np.int64)
                           for idx, c in enumerate(rows_chunks)])
-
-    flat_len = nt * tsl
-    # sort by (row, col, emission order); reduce duplicates left-to-right,
-    # reproducing sum_dup_vals' in-row first-occurrence accumulation
     order = np.lexsort((seq, cols, rows))
     rows, cols, vals = rows[order], cols[order], vals[order]
     new_group = np.empty(len(rows), dtype=bool)

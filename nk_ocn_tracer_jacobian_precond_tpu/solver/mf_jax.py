@@ -112,8 +112,11 @@ def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
     # --- route every CSR entry to its assembly front ----------------------
     rows = np.repeat(np.arange(flat_len, dtype=np.int64), np.diff(csr_rowptr))
     cols = csr_colind
-    col_first = cell_elim[cols] <= cell_elim[rows]
-    entry_node = np.where(col_first, cell_node[cols], cell_node[rows])
+    from ..native import route_entries
+    entry_node = route_entries(csr_rowptr, csr_colind, cell_node, cell_elim)
+    if entry_node is None:
+        col_first = cell_elim[cols] <= cell_elim[rows]
+        entry_node = np.where(col_first, cell_node[cols], cell_node[rows])
     entry_src = np.arange(nnz, dtype=np.int64)
 
     # group entries by front
@@ -224,68 +227,126 @@ def _extend_add(F, S_src, inv, dst_slot):
     return F.at[dst_slot].add(add)
 
 
-def _unblocked_lu(D):
-    """(B, T, T) in-place no-pivot LU via T rank-1 updates (VPU work)."""
-    T = D.shape[-1]
+def _pivoted_panel(Pan, off: int, p_arr):
+    """Factor a tall panel (B, R, T) — rows [off, P), cols [off, off+T) —
+    with partial pivoting restricted to fully-summed rows (global row <
+    p_arr[b]; identity-padded rows never move). This is the restricted
+    pivoting a multifrontal method allows (only fully-summed rows may be
+    exchanged), which tames the element growth that unpivoted elimination
+    suffers on these transport matrices. Returns (factored panel, piv
+    sequence (B, T) of panel-relative row choices)."""
+    B, R, T = Pan.shape
+    rows_global = off + jnp.arange(R)
+    r_idx = jnp.arange(R)[None, :]
 
-    def body(k, D):
-        piv = D[:, k, k][:, None]
-        col = D[:, :, k] / piv
-        rows = jnp.arange(T)[None, :]
-        col = jnp.where(rows > k, col, 0.0)[:, :, None]       # (B, T, 1)
-        row = D[:, k, :]
-        row = jnp.where(rows > k, row, 0.0)[:, None, :]       # (B, 1, T)
-        D = D - col * row
-        D = D.at[:, :, k].set(jnp.where(rows > k, col[:, :, 0], D[:, :, k]))
-        return D
+    def body(k, carry):
+        Pan, piv = carry
+        col = Pan[:, :, k]
+        ok = (r_idx >= k) & ((rows_global[None, :] < p_arr[:, None])
+                             | (r_idx == k))
+        score = jnp.where(ok, jnp.abs(col), -1.0)
+        sel = jnp.argmax(score, axis=1)
+        bidx = jnp.arange(B)
+        rowk = Pan[:, k, :]
+        rowsel = Pan[bidx, sel, :]
+        Pan = Pan.at[:, k, :].set(rowsel)
+        Pan = Pan.at[bidx, sel, :].set(rowk)
+        piv = piv.at[:, k].set(sel.astype(jnp.int32))
+        pv = Pan[:, k, k][:, None]
+        colv = Pan[:, :, k] / pv
+        colv = jnp.where(r_idx > k, colv, 0.0)[:, :, None]
+        rowv = jnp.where(jnp.arange(T)[None, :] > k, Pan[:, k, :], 0.0)[:, None, :]
+        Pan = Pan - colv * rowv
+        Pan = Pan.at[:, :, k].set(jnp.where(r_idx > k, colv[:, :, 0],
+                                            Pan[:, :, k]))
+        return Pan, piv
 
-    return jax.lax.fori_loop(0, T, body, D)
+    piv0 = jnp.zeros((B, T), dtype=jnp.int32)
+    return jax.lax.fori_loop(0, T, body, (Pan, piv0))
 
 
-def _partial_factor_body(F, P: int):
-    """Blocked LU of F[:, :P, :P]; TRSM of the off-blocks; Schur update.
+def _seq_to_perm(piv, R: int):
+    """Compose a pivot-swap sequence into a row permutation (B, R):
+    perm[b, i] = panel-relative source row that ends up at position i."""
+    B, T = piv.shape
+    perm = jnp.tile(jnp.arange(R, dtype=jnp.int32)[None, :], (B, 1))
 
-    Returns (F_factored, S) where F holds L\\U in [:P,:P], U12 in [:P,P:],
-    L21 in [P:,:P], and S = F22 - L21 @ U12.
+    def body(k, perm):
+        sel = piv[:, k]
+        bidx = jnp.arange(B)
+        a = perm[:, k]
+        b = perm[bidx, sel]
+        perm = perm.at[:, k].set(b)
+        perm = perm.at[bidx, sel].set(a)
+        return perm
+
+    return jax.lax.fori_loop(0, T, body, perm)
+
+
+def _partial_factor_body(F, P: int, p_arr):
+    """Blocked LU with restricted partial pivoting of F[:, :P, :P]; TRSM of
+    the off-blocks; Schur update.
+
+    Returns (F_factored, S, perm) where F holds P_r A = L\\U in [:P,:P],
+    U12 in [:P,P:], L21 in [P:,:P] (border rows are never permuted),
+    S = F22 - L21 @ U12, and perm (B, P) maps solve positions to original
+    eliminated-row order.
     """
     N = F.shape[-1]
+    B = F.shape[0]
+    perm_total = jnp.tile(jnp.arange(P, dtype=jnp.int32)[None, :], (B, 1))
     nb = (P + PANEL - 1) // PANEL
     for t in range(nb):
         off = t * PANEL
         T = min(PANEL, P - off)
-        D = jax.lax.dynamic_slice(F, (0, off, off), (F.shape[0], T, T))
-        D = _unblocked_lu(D)
-        F = jax.lax.dynamic_update_slice(F, D, (0, off, off))
+        R = P - off
+        Pan = jax.lax.dynamic_slice(F, (0, off, off), (B, R, T))
+        Pan, piv = _pivoted_panel(Pan, off, p_arr)
+        pperm = _seq_to_perm(piv, R)
+        # permute the panel rows' other columns, then write the factored
+        # panel into place
+        Rows = jax.lax.dynamic_slice(F, (0, off, 0), (B, R, N))
+        Rows = jnp.take_along_axis(Rows, pperm[:, :, None].astype(jnp.int32),
+                                   axis=1)
+        Rows = jax.lax.dynamic_update_slice(Rows, Pan, (0, 0, off))
+        F = jax.lax.dynamic_update_slice(F, Rows, (0, off, 0))
+        seg = jax.lax.dynamic_slice(perm_total, (0, off), (B, R))
+        seg = jnp.take_along_axis(seg, pperm, axis=1)
+        perm_total = jax.lax.dynamic_update_slice(perm_total, seg, (0, off))
+
         rest = N - off - T
         if rest > 0:
-            # rows to the right: U-part = L_D^{-1} A(off:off+T, off+T:)
-            A12 = jax.lax.dynamic_slice(F, (0, off, off + T),
-                                        (F.shape[0], T, rest))
+            D = Pan[:, :T, :T]
+            # U-part of the panel rows
+            A12 = jax.lax.dynamic_slice(F, (0, off, off + T), (B, T, rest))
             A12 = triangular_solve(D, A12, left_side=True, lower=True,
                                    unit_diagonal=True)
             F = jax.lax.dynamic_update_slice(F, A12, (0, off, off + T))
-            # cols below: L-part = A(off+T:, off:off+T) U_D^{-1}
-            A21 = jax.lax.dynamic_slice(F, (0, off + T, off),
-                                        (F.shape[0], rest, T))
-            A21 = triangular_solve(D, A21, left_side=False, lower=False,
-                                   unit_diagonal=False)
-            F = jax.lax.dynamic_update_slice(F, A21, (0, off + T, off))
+            # L-part of the (never-permuted) border rows
+            bord = N - P
+            if bord > 0:
+                A21b = jax.lax.dynamic_slice(F, (0, P, off), (B, bord, T))
+                A21b = triangular_solve(D, A21b, left_side=False, lower=False,
+                                        unit_diagonal=False)
+                F = jax.lax.dynamic_update_slice(F, A21b, (0, P, off))
             # trailing update (MXU; HIGHEST precision — a direct solver
             # cannot afford the TPU's default bf16 matmul passes)
+            Lrows = jax.lax.dynamic_slice(F, (0, off + T, off),
+                                          (B, N - off - T, T))
             A22 = jax.lax.dynamic_slice(F, (0, off + T, off + T),
-                                        (F.shape[0], rest, rest))
-            A22 = A22 - jnp.matmul(A21, A12,
+                                        (B, rest, rest))
+            A22 = A22 - jnp.matmul(Lrows, A12,
                                    preferred_element_type=A22.dtype,
                                    precision=jax.lax.Precision.HIGHEST)
             F = jax.lax.dynamic_update_slice(F, A22, (0, off + T, off + T))
     S = F[:, P:, P:]
-    return F, S
+    return F, S, perm_total
 
 
 _partial_factor = jax.jit(_partial_factor_body, static_argnames=("P",))
 
 
-def _fwd_round(W, F, cells_own, cells_bor):
+def _fwd_round(W, F, perm, cells_own, cells_bor):
     """Forward substitution for one round, batched over fronts.
 
     W is (flat_len+1, nrhs) with a trailing dump row for padding."""
@@ -293,6 +354,7 @@ def _fwd_round(W, F, cells_own, cells_bor):
     L11 = F[:, :P, :P]
     L21 = F[:, P:, :P]
     rhs = W[cells_own]                                  # (B, P, nrhs)
+    rhs = jnp.take_along_axis(rhs, perm[:, :, None], axis=1)
     y = triangular_solve(L11, rhs, left_side=True, lower=True,
                          unit_diagonal=True)
     W = W.at[cells_own.reshape(-1)].set(y.reshape(-1, y.shape[-1]), mode="drop")
@@ -352,9 +414,11 @@ class JaxMultifrontal:
         the compiled programs."""
         c = []
         for p in self.plans:
+            p_arr = np.array([self.sym.fronts[nid].p for nid in p.node_ids],
+                             dtype=np.int32)
             c.append(dict(
                 a_pos=jnp.asarray(p.a_pos), a_src=jnp.asarray(p.a_src),
-                eye_pos=jnp.asarray(p.eye_pos),
+                eye_pos=jnp.asarray(p.eye_pos), p_arr=jnp.asarray(p_arr),
                 own=jnp.asarray(p.cells_own), bor=jnp.asarray(p.cells_bor),
                 inv=[jnp.asarray(l.inv) for l in p.children]))
         return c
@@ -377,8 +441,8 @@ class JaxMultifrontal:
                 Sp = jnp.pad(S, ((0, 1), (0, 1)))
                 inv = cc["inv"][li]
                 F = F.at[link.dst_slot].add(Sp[inv][:, inv])
-            F, S = _partial_factor_body(F, P=plan.P)
-            factors.append(F)
+            F, S, perm = _partial_factor_body(F, plan.P, cc["p_arr"])
+            factors.append((F, perm))
             schur[rnd] = S
         return tuple(factors)
 
@@ -386,7 +450,7 @@ class JaxMultifrontal:
         flat = []
         for cc in self._consts:
             flat.extend([cc["a_pos"], cc["a_src"], cc["eye_pos"],
-                         cc["own"], cc["bor"]])
+                         cc["p_arr"], cc["own"], cc["bor"]])
             flat.extend(cc["inv"])
         return tuple(flat)
 
@@ -395,8 +459,8 @@ class JaxMultifrontal:
         i = 0
         for p in self.plans:
             cc = dict(a_pos=flat[i], a_src=flat[i + 1], eye_pos=flat[i + 2],
-                      own=flat[i + 3], bor=flat[i + 4])
-            i += 5
+                      p_arr=flat[i + 3], own=flat[i + 4], bor=flat[i + 5])
+            i += 6
             cc["inv"] = list(flat[i:i + len(p.children)])
             i += len(p.children)
             out.append(cc)
@@ -418,11 +482,11 @@ class JaxMultifrontal:
     def _solve_program(self, W, factors, flat_consts):
         consts = self._unflatten_consts(flat_consts)
         for rnd in range(len(self.plans)):
-            W = _fwd_round(W, factors[rnd], consts[rnd]["own"],
-                           consts[rnd]["bor"])
+            F, perm = factors[rnd]
+            W = _fwd_round(W, F, perm, consts[rnd]["own"], consts[rnd]["bor"])
         for rnd in range(len(self.plans) - 1, -1, -1):
-            W = _bwd_round(W, factors[rnd], consts[rnd]["own"],
-                           consts[rnd]["bor"])
+            F, perm = factors[rnd]
+            W = _bwd_round(W, F, consts[rnd]["own"], consts[rnd]["bor"])
         return W
 
     def solve(self, b: np.ndarray) -> np.ndarray:
