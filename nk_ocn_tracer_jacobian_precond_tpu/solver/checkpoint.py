@@ -1,0 +1,68 @@
+"""Symbolic-analysis checkpointing.
+
+The reference's durable artifact between stages is the matrix NetCDF file;
+within a solver run the factorization is reused but the symbolic analysis
+is recomputed every run (SURVEY.md §5). Here the symbolic factorization —
+which depends only on the sparsity pattern, i.e. on grid + option choices,
+and is identical across every Newton iteration of a spin-up — can be saved
+once and reloaded, skipping ordering + analysis entirely.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .symbolic import Front, SymbolicFactorization
+
+
+def save_symbolic(path: str, sym: SymbolicFactorization) -> None:
+    nodes = sorted(sym.fronts.keys())
+    arrays = {
+        "perm": sym.perm,
+        "iperm": sym.iperm,
+        "flat_len": np.array([sym.flat_len]),
+        "nodes": np.array(nodes, dtype=np.int64),
+        "rounds_sizes": np.array([len(r) for r in sym.rounds], dtype=np.int64),
+        "rounds_flat": np.concatenate(
+            [np.asarray(r, dtype=np.int64) for r in sym.rounds]
+            or [np.empty(0, np.int64)]),
+    }
+    for nid in nodes:
+        f = sym.fronts[nid]
+        arrays[f"f{nid}_owned"] = f.owned_cols
+        arrays[f"f{nid}_border"] = f.border_cols
+        arrays[f"f{nid}_cells"] = f.cells
+        arrays[f"f{nid}_meta"] = np.array(
+            [f.p, f.n, f.parent, f.round], dtype=np.int64)
+        arrays[f"f{nid}_children"] = np.array(f.children, dtype=np.int64)
+        if f.parent_map is not None:
+            arrays[f"f{nid}_pmap"] = f.parent_map
+    np.savez_compressed(path, **arrays)
+
+
+def load_symbolic(path: str) -> SymbolicFactorization:
+    z = np.load(path)
+    nodes = z["nodes"]
+    fronts = {}
+    for nid in nodes:
+        nid = int(nid)
+        p, n, parent, rnd = (int(v) for v in z[f"f{nid}_meta"])
+        pmap_key = f"f{nid}_pmap"
+        fronts[nid] = Front(
+            node=nid,
+            owned_cols=z[f"f{nid}_owned"],
+            border_cols=z[f"f{nid}_border"],
+            cells=z[f"f{nid}_cells"],
+            p=p, n=n, parent=parent,
+            parent_map=z[pmap_key] if pmap_key in z.files else None,
+            children=[int(c) for c in z[f"f{nid}_children"]],
+            round=rnd)
+    rounds = []
+    off = 0
+    flat = z["rounds_flat"]
+    for sz in z["rounds_sizes"]:
+        rounds.append([int(x) for x in flat[off:off + int(sz)]])
+        off += int(sz)
+    return SymbolicFactorization(
+        fronts=fronts, rounds=rounds, perm=z["perm"], iperm=z["iperm"],
+        flat_len=int(z["flat_len"][0]))

@@ -1,0 +1,49 @@
+"""Symbolic checkpoint round-trip: a reloaded plan must factor and solve
+identically."""
+
+import numpy as np
+
+from nk_ocn_tracer_jacobian_precond_tpu.drivers.gen_a import run_gen_a
+from nk_ocn_tracer_jacobian_precond_tpu.grid.indmap import load_ind_maps
+from nk_ocn_tracer_jacobian_precond_tpu.io.matrixfile import read_matrix_file
+from nk_ocn_tracer_jacobian_precond_tpu.ops import AssemblyOptions, PerTracerOptions
+from nk_ocn_tracer_jacobian_precond_tpu.solver.checkpoint import (
+    load_symbolic,
+    save_symbolic,
+)
+from nk_ocn_tracer_jacobian_precond_tpu.solver.mf import MultifrontalFactorization
+from nk_ocn_tracer_jacobian_precond_tpu.solver.symbolic import symbolic_from_matrix
+from nk_ocn_tracer_jacobian_precond_tpu.testdata import make_circ_file
+
+
+def test_symbolic_checkpoint_roundtrip(tmp_path):
+    circ = str(tmp_path / "circ.nc")
+    make_circ_file(circ, imt=14, jmt=12, km=4, seed=50)
+    mat = str(tmp_path / "m.nc")
+    pt = PerTracerOptions(sink_type="const", sink_rate=1e-4)
+    opts = AssemblyOptions(circ_fname=circ, hmix_type="const",
+                           vmix_type="file", per_tracer=[pt])
+    run_gen_a(mat, opts=opts)
+    matrix = read_matrix_file(mat)
+    maps = load_ind_maps(mat)
+
+    sym = symbolic_from_matrix(maps, matrix, leaf_size=8)
+    ckpt = str(tmp_path / "sym.npz")
+    save_symbolic(ckpt, sym)
+    sym2 = load_symbolic(ckpt)
+
+    np.testing.assert_array_equal(sym.perm, sym2.perm)
+    assert sym2.flat_len == sym.flat_len
+    assert len(sym2.fronts) == len(sym.fronts)
+    for nid, f in sym.fronts.items():
+        f2 = sym2.fronts[nid]
+        np.testing.assert_array_equal(f.cells, f2.cells)
+        assert (f.p, f.n, f.parent, f.round) == (f2.p, f2.n, f2.parent, f2.round)
+
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(matrix.flat_len)
+    x1 = MultifrontalFactorization(matrix, impl="numpy", maps=maps,
+                                   sym=sym).solve(b)
+    x2 = MultifrontalFactorization(matrix, impl="numpy", maps=maps,
+                                   sym=sym2).solve(b)
+    np.testing.assert_array_equal(x1, x2)
