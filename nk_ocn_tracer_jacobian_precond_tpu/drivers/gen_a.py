@@ -22,6 +22,38 @@ from ..utils import dbg, set_dbg_lvl, timed
 from .config import parse_opt_file
 
 
+def write_opts(opts: AssemblyOptions, matrix_fname: str) -> None:
+    """Echo the resolved options at dbg level >= 1, the rebuild of
+    write_opts (src/gen_A.c:355-455)."""
+    dbg(1, f"day_cnt                    = {opts.day_cnt:e}")
+    dbg(1, f"reg_fname                  = {opts.reg_fname or 'none'}")
+    dbg(1, f"circ_fname                 = {opts.circ_fname}")
+    dbg(1, f"adv_opt                    = {opts.adv_type}")
+    dbg(1, f"l_adv_enforce_divfree      = {int(opts.l_adv_enforce_divfree)}")
+    dbg(1, f"hmix_opt                   = {opts.hmix_type}")
+    dbg(1, f"vmix_opt                   = {opts.vmix_type}")
+    dbg(1, f"tracer_fname               = {opts.tracer_fname or 'none'}")
+    dbg(1, f"coupled_tracer_cnt         = {opts.coupled_tracer_cnt}")
+    for t, pt in enumerate(opts.per_tracer):
+        dbg(1, f"options for tracer {t}")
+        dbg(1, f"   sink_opt                = {pt.sink_type}")
+        if pt.sink_type in ("const", "const_shallow"):
+            dbg(1, f"   sink_rate               = {pt.sink_rate:e}")
+        if pt.sink_type == "const_shallow":
+            dbg(1, f"   sink_depth              = {pt.sink_depth:e}")
+        if pt.sink_type == "file":
+            dbg(1, f"   sink_field_name         = {pt.sink_field_name}")
+        if pt.sink_type == "generic_tracer":
+            dbg(1, f"   sink_generic_tracer_name= {pt.sink_generic_tracer_name}")
+            dbg(1, f"   depends_layer_cnt       = "
+                   f"{pt.sink_generic_tracer_depends_layer_cnt}")
+        dbg(1, f"   pv_field_name           = {pt.pv_field_name or 'none'}")
+        dbg(1, f"   d_SF_d_TRACER_field_name= "
+               f"{pt.d_SF_d_TRACER_field_name or 'none'}")
+    dbg(1, f"coupled_tracer_opt         = {opts.coupled_tracer_type}")
+    dbg(1, f"matrix_fname               = {matrix_fname}")
+
+
 def run_gen_a(matrix_fname: str, opt_fname: str | None = None,
               opts: AssemblyOptions | None = None, dbg_lvl: int = 0) -> SparseMatrix:
     set_dbg_lvl(dbg_lvl)
@@ -32,6 +64,7 @@ def run_gen_a(matrix_fname: str, opt_fname: str | None = None,
     if opts.circ_fname is None:
         raise ValueError("circ_fname not specified")
     opts.validate()
+    write_opts(opts, matrix_fname)
 
     with timed("get_grid_info"):
         grid = load_grid(opts.circ_fname, opts.reg_fname)

@@ -103,6 +103,10 @@ class MultifrontalFactorization:
                 # refinement with the factorization as preconditioner
                 with timed("mf gmres-ir"):
                     X = self._gmres_ir(B, X)
+                    # gmres converges the *preconditioned* residual; polish
+                    # the true residual with plain refinement steps
+                    X = iterative_refinement(self.A, self._precond_solve,
+                                             B, X, tol=self.refine_tol)
         return X[:, 0] if single else X
 
     def _gmres_ir(self, B: np.ndarray, X0: np.ndarray) -> np.ndarray:
