@@ -77,6 +77,28 @@ class MultifrontalFactorization:
             else:
                 raise ValueError(f"unknown multifrontal impl: {impl}")
 
+    def validate(self) -> dict:
+        """Failure detection: scan the computed factors for non-finite
+        entries (zero pivots / overflow in the low-precision factorization
+        surface here first). The reference had no failure detection at all
+        (SURVEY.md §5); SuperLU just ABORTs on allocation failure."""
+        import numpy as np
+        bad = 0
+        total = 0
+        factors = getattr(self.engine, "factors", None)
+        if factors is not None:
+            for item in factors:
+                F = item[0] if isinstance(item, tuple) else item
+                arr = np.asarray(F)
+                bad += int((~np.isfinite(arr)).sum())
+                total += arr.size
+        report = {"nonfinite_factor_entries": bad, "factor_entries": total}
+        if bad:
+            raise FloatingPointError(
+                f"factorization produced {bad} non-finite entries "
+                f"(singular pivot block or overflow): {report}")
+        return report
+
     def _precond_solve(self, b: np.ndarray) -> np.ndarray:
         """Apply the (scaled) factorization: x ~= A^{-1} b."""
         if self.dr is None:
