@@ -52,13 +52,12 @@ def gen_ind_maps(KMT: np.ndarray, km: int) -> IndexMaps:
     tracer_state_len = int(flat.sum())
     dbg(1, f"tracer_state_len = {tracer_state_len}")
 
-    kk, jj, ii = np.meshgrid(np.arange(km), np.arange(jmt), np.arange(imt),
-                             indexing="ij")
-    order = np.argsort(np.where(wet, int3_to_ind, np.iinfo(np.int64).max).ravel(),
-                       kind="stable")[:tracer_state_len]
-    ind_to_k = kk.ravel()[order]
-    ind_to_j = jj.ravel()[order]
-    ind_to_i = ii.ravel()[order]
+    # wet cells in (j, i, k) enumeration order = ascending flat indices of
+    # the transposed mask; decode to triplets directly
+    flat_idx = np.flatnonzero(wet_jik)
+    ind_to_k = flat_idx % km
+    ind_to_i = (flat_idx // km) % imt
+    ind_to_j = flat_idx // (km * imt)
     return IndexMaps(
         tracer_state_len=tracer_state_len,
         int3_to_ind=int3_to_ind.astype(np.int64),

@@ -50,7 +50,14 @@ def var_exists_in_file(path: str, name: str, header=None) -> bool:
 
 
 def put_var_inplace(path: str, name: str, data: np.ndarray) -> None:
-    netcdf3.write_var_inplace(path, name, data)
+    """In-place update; re-adds a leading length-1 record axis if the
+    on-disk variable carries one (annual-mean POP files keep a time dim)."""
+    hdr = netcdf3.read_header(path)
+    v = hdr.vars[name]
+    arr = np.asarray(data)
+    if v.is_record and arr.ndim == len(v.shape):
+        arr = arr[None]
+    netcdf3.write_var_inplace(path, name, arr)
 
 
 def get_field_fv_zeroed(path: str, name: str, ndim: int, header=None) -> np.ndarray:

@@ -214,7 +214,8 @@ def make_tracer_file(path: str, imt: int, jmt: int, km: int,
                      tracer_names=("IAGE_CUR",), seed: int = 0,
                      generic_tracer_names=(), coupled_names=(),
                      pv_names=(), sf_names=(), sink_field_names=(),
-                     depends_layer_cnt: int | None = None) -> dict:
+                     depends_layer_cnt: int | None = None,
+                     with_time_dim: bool = False) -> dict:
     """Write a synthetic tracer (function-evaluation) file.
 
     Contains the tracer state variables the solvers read/write in place
@@ -228,12 +229,15 @@ def make_tracer_file(path: str, imt: int, jmt: int, km: int,
     rng = np.random.default_rng(seed + 13)
     raw = {}
     variables = []
-    dims = [("nlon", imt), ("nlat", jmt), ("z_t", km)]
+    tdim = ("time",) if with_time_dim else ()
+    dims = ([("time", 0)] if with_time_dim else []) + [
+        ("nlon", imt), ("nlat", jmt), ("z_t", km)]
 
     def add3(name, scale=1.0):
         data = scale * rng.standard_normal((km, jmt, imt))
         raw[name] = data
-        variables.append((name, ("z_t", "nlat", "nlon"), {"_FillValue": FV}, data))
+        variables.append((name, tdim + ("z_t", "nlat", "nlon"),
+                          {"_FillValue": FV}, data[None] if with_time_dim else data))
 
     def add2(name, scale=1.0):
         data = scale * rng.standard_normal((jmt, imt))
