@@ -149,7 +149,13 @@ def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
     plans: list[RoundPlan] = []
     slot_of_node: dict[int, tuple[int, int]] = {}
     for rnd, node_ids in enumerate(chunked_rounds):
-        B = len(node_ids)
+        B_real = len(node_ids)
+        # pad the batch to a power of two as well: dummy identity fronts
+        # cost almost nothing but make (B, P, N) shapes highly reusable
+        # across chunks and problem sizes
+        B = 1
+        while B < B_real:
+            B *= 2
         maxp = max(sym.fronts[nid].p for nid in node_ids)
         maxm = max(sym.fronts[nid].n - sym.fronts[nid].p for nid in node_ids)
         P = _pad_dim(maxp)
@@ -158,6 +164,9 @@ def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
         a_pos_l, a_src_l, eye_l = [], [], []
         cells_own = np.full((B, P), flat_len, dtype=np.int64)
         cells_bor = np.full((B, M), flat_len, dtype=np.int64)
+        for b in range(B_real, B):
+            # dummy front: identity pivot block, empty border
+            eye_l.append((b * N + np.arange(P)) * N + np.arange(P))
         children: list[ChildLink] = []
         for b, nid in enumerate(node_ids):
             f = sym.fronts[nid]
@@ -414,8 +423,9 @@ class JaxMultifrontal:
         the compiled programs."""
         c = []
         for p in self.plans:
-            p_arr = np.array([self.sym.fronts[nid].p for nid in p.node_ids],
-                             dtype=np.int32)
+            p_arr = np.zeros(p.B, dtype=np.int32)
+            p_arr[:len(p.node_ids)] = [self.sym.fronts[nid].p
+                                       for nid in p.node_ids]
             c.append(dict(
                 a_pos=jnp.asarray(p.a_pos), a_src=jnp.asarray(p.a_src),
                 eye_pos=jnp.asarray(p.eye_pos), p_arr=jnp.asarray(p_arr),
@@ -423,28 +433,10 @@ class JaxMultifrontal:
                 inv=[jnp.asarray(l.inv) for l in p.children]))
         return c
 
-    # -- factorization as one program --------------------------------------
-
-    def _factor_program(self, nzval, flat_consts):
-        consts = self._unflatten_consts(flat_consts)
-        factors = []
-        schur: list = [None] * len(self.plans)
-        for rnd, plan in enumerate(self.plans):
-            cc = consts[rnd]
-            avals = nzval[cc["a_src"]]
-            F = jnp.zeros((plan.B * plan.N * plan.N,), dtype=nzval.dtype)
-            F = F.at[cc["a_pos"]].add(avals)
-            F = F.at[cc["eye_pos"]].add(jnp.ones((), nzval.dtype))
-            F = F.reshape(plan.B, plan.N, plan.N)
-            for li, link in enumerate(plan.children):
-                S = schur[link.src_round][link.src_slot]
-                Sp = jnp.pad(S, ((0, 1), (0, 1)))
-                inv = cc["inv"][li]
-                F = F.at[link.dst_slot].add(Sp[inv][:, inv])
-            F, S, perm = _partial_factor_body(F, plan.P, cc["p_arr"])
-            factors.append((F, perm))
-            schur[rnd] = S
-        return tuple(factors)
+    # -- factorization: per-chunk bucketed kernels -------------------------
+    # (compiled shapes are powers of two, so kernels are reused across
+    # chunks of one problem AND across problem sizes; the solve path stays
+    # fused into one program because per-solve dispatch latency matters)
 
     def _flatten_consts(self):
         flat = []
@@ -469,8 +461,27 @@ class JaxMultifrontal:
     def _factorize(self, matrix: SparseMatrix) -> None:
         nzval = jnp.asarray(matrix.nzval, dtype=self.prec)
         with timed("factor dispatch"):
-            fn = jax.jit(self._factor_program)
-            self.factors = fn(nzval, self._flatten_consts())
+            factors = []
+            schur: list = [None] * len(self.plans)
+            uses = [0] * len(self.plans)
+            for plan in self.plans:
+                for link in plan.children:
+                    uses[link.src_round] += 1
+            for rnd, plan in enumerate(self.plans):
+                cc = self._consts[rnd]
+                avals = nzval[cc["a_src"]]
+                F = _assemble(avals, cc["a_pos"], cc["eye_pos"],
+                              B=plan.B, N=plan.N)
+                for li, link in enumerate(plan.children):
+                    F = _extend_add(F, schur[link.src_round][link.src_slot],
+                                    cc["inv"][li], link.dst_slot)
+                    uses[link.src_round] -= 1
+                    if uses[link.src_round] == 0:
+                        schur[link.src_round] = None
+                F, S, perm = _partial_factor(F, P=plan.P, p_arr=cc["p_arr"])
+                factors.append((F, perm))
+                schur[rnd] = S
+            self.factors = tuple(factors)
             jax.block_until_ready(self.factors)
 
     def refactor(self, matrix: SparseMatrix) -> None:
