@@ -362,18 +362,27 @@ def write(
     rec_dim = next((n for n, s in dims if s == 0), None)
 
     arrs, metas = [], []
-    numrecs = 0
+    numrecs = None
     for name, vdims, atts, data in variables:
         arr = _coerce(data)
         is_record = bool(vdims) and vdims[0] == rec_dim
         exp = tuple(dim_sizes[d] for d in vdims)
         if is_record:
-            numrecs = max(numrecs, arr.shape[0])
+            if numrecs is not None and arr.shape[0] != numrecs:
+                # NetCDF-3 requires every record variable to share the
+                # record count; catching it here avoids an IndexError
+                # mid-write that would leave a truncated file behind
+                raise ValueError(
+                    f"var {name}: {arr.shape[0]} records, but an earlier "
+                    f"record variable has {numrecs} — all record variables "
+                    f"must share the record count")
+            numrecs = arr.shape[0]
             exp = (arr.shape[0],) + exp[1:]
         if tuple(arr.shape) != exp:
             raise ValueError(f"var {name}: shape {arr.shape} != dims {vdims} -> {exp}")
         arrs.append(arr)
         metas.append((name, vdims, atts or {}, _nc_type_of(arr), is_record))
+    numrecs = numrecs or 0
 
     def emit(begins: list[int]) -> bytes:
         w = _Writer()

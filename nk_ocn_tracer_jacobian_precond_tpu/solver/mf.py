@@ -49,10 +49,22 @@ class MultifrontalFactorization:
     def __init__(self, matrix: SparseMatrix, impl: str = "auto",
                  leaf_size: int = 32, refine_tol: float = 1e-13,
                  maps=None, sym: SymbolicFactorization | None = None,
-                 n_devices: int | None = None, equilibrate_matrix: bool = True):
+                 n_devices: int | None = None, equilibrate_matrix: bool = True,
+                 mesh=None):
         self.matrix = matrix
         self.A = matrix.to_scipy()
         self.refine_tol = refine_tol
+        if mesh is None and n_devices is not None and n_devices > 1:
+            # the distributed mode (reference solve_ABdist / -n nprow,npcol,
+            # solve_ABglobal.c:61-77): shard the front batches over a device
+            # mesh. make_mesh raises if the requested devices don't exist —
+            # a silently-ignored parallelism flag is worse than an
+            # unsupported one.
+            from ..parallel.mesh import make_mesh
+            mesh = make_mesh(n_devices, ("front",))
+        self.mesh = mesh
+        if mesh is not None and impl in ("auto", "numpy"):
+            impl = "jax"
         if sym is None:
             if maps is None:
                 maps = _maps_from_matrix(matrix)
@@ -73,7 +85,7 @@ class MultifrontalFactorization:
                 self.engine = NumpyMultifrontal(sym, fac_matrix)
             elif impl == "jax":
                 from .mf_jax import JaxMultifrontal
-                self.engine = JaxMultifrontal(sym, fac_matrix)
+                self.engine = JaxMultifrontal(sym, fac_matrix, mesh=self.mesh)
             else:
                 raise ValueError(f"unknown multifrontal impl: {impl}")
 
@@ -87,11 +99,20 @@ class MultifrontalFactorization:
         total = 0
         factors = getattr(self.engine, "factors", None)
         if factors is not None:
-            for item in factors:
-                F = item[0] if isinstance(item, tuple) else item
-                arr = np.asarray(F)
-                bad += int((~np.isfinite(arr)).sum())
-                total += arr.size
+            items = factors.values() if isinstance(factors, dict) else factors
+            for item in items:
+                if isinstance(item, tuple):
+                    arrs = item
+                elif hasattr(item, "__dataclass_fields__"):  # FrontFactors
+                    arrs = (item.lu11, item.L21, item.U12)
+                else:
+                    arrs = (item,)
+                for F in arrs:
+                    arr = np.asarray(F)
+                    if not np.issubdtype(arr.dtype, np.floating):
+                        continue
+                    bad += int((~np.isfinite(arr)).sum())
+                    total += arr.size
         report = {"nonfinite_factor_entries": bad, "factor_entries": total}
         if bad:
             raise FloatingPointError(
@@ -129,6 +150,17 @@ class MultifrontalFactorization:
                     # the true residual with plain refinement steps
                     X = iterative_refinement(self.A, self._precond_solve,
                                              B, X, tol=self.refine_tol)
+                rel = _rel_residuals(self.A, X, B)
+                if rel.max() > 100 * self.refine_tol:
+                    # never return a silently inaccurate solution: the
+                    # backstop itself failed to converge
+                    import warnings
+                    warnings.warn(
+                        f"solve did not reach target accuracy: max relative "
+                        f"residual {rel.max():.3e} > "
+                        f"{100 * self.refine_tol:.1e} after GMRES-IR "
+                        f"(ill-conditioned matrix or factorization "
+                        f"breakdown)", RuntimeWarning, stacklevel=2)
         return X[:, 0] if single else X
 
     def _gmres_ir(self, B: np.ndarray, X0: np.ndarray) -> np.ndarray:
@@ -140,6 +172,10 @@ class MultifrontalFactorization:
             x, info = gmres(self.A, B[:, j], x0=X0[:, j], M=M,
                             rtol=self.refine_tol, restart=30, maxiter=20)
             X[:, j] = x
+            if info != 0:
+                import warnings
+                warnings.warn(f"gmres-ir did not converge for rhs {j} "
+                              f"(info={info})", RuntimeWarning, stacklevel=2)
             dbg(1, f"gmres-ir rhs {j}: info={info}")
         return X
 

@@ -44,15 +44,30 @@ def _round_up(x: int, m: int) -> int:
     return max(m, (x + m - 1) // m * m)
 
 
+def _pad_batch(b: int) -> int:
+    """Pad a round's batch count: powers of two up to 128, multiples of
+    128 above (the dummy identity fronts are cheap individually, but a
+    power-of-2 jump at large B nearly doubled round-1's transient front
+    memory)."""
+    if b >= 128:
+        return _round_up(b, 128)
+    p = 1
+    while p < b:
+        p *= 2
+    return p
+
+
 def _pad_dim(x: int) -> int:
-    """Pad a front dimension to a power of two (capped granularity for
-    very large fronts). Coarse bucketing maximizes compiled-kernel reuse
-    across rounds and matrices — compile time is a first-order cost on a
-    remote-compile TPU — at a bounded (<2x linear) padding overhead."""
+    """Pad a front dimension to a bucketed size: powers of two up to 512
+    (maximizes compiled-kernel reuse across rounds and matrices — compile
+    time is a first-order cost on a remote-compile TPU), multiples of the
+    128 lane width above that (large fronts dominate memory; power-of-2
+    padding there wastes up to 2x HBM for little compile-cache benefit —
+    the gx3 OOM of round 1)."""
     if x <= 8:
         return 8
-    if x >= 2048:
-        return _round_up(x, 512)
+    if x >= 512:
+        return _round_up(x, LANE)
     p = 8
     while p < x:
         p *= 2
@@ -60,11 +75,13 @@ def _pad_dim(x: int) -> int:
 
 
 @dataclass
-class ChildLink:
+class ChildGroup:
+    """All extend-add links from one earlier round into this round,
+    batched: dst front [dst_slots[l]] += S_src[src_slots[l]][inv[l]][:, inv[l]]."""
     src_round: int
-    src_slot: int          # batch slot within the source round's Schur stack
-    dst_slot: int          # batch slot in this round
-    inv: np.ndarray        # (N,) position in child's border (or M_src = pad)
+    src_slots: np.ndarray  # (L,) batch slots in the source round's Schur stack
+    dst_slots: np.ndarray  # (L,) batch slots in this round
+    inv: np.ndarray        # (L, N) position in child's border (or M_src = pad)
 
 
 @dataclass
@@ -74,12 +91,12 @@ class RoundPlan:
     P: int                 # padded eliminated size
     N: int                 # padded front size
     M: int                 # N - P (padded border size)
-    a_pos: np.ndarray      # scatter positions (flat into B*N*N) for A values
-    a_src: np.ndarray      # indices into CSR nzval
-    eye_pos: np.ndarray    # flat positions that get identity padding
+    a_pos: np.ndarray      # (B, E) per-front scatter positions into N*N (pad -> N*N)
+    a_src: np.ndarray      # (B, E) indices into CSR nzval (pad -> nnz: extra zero)
+    p_arr: np.ndarray      # (B,) true eliminated count per front (0 for dummies)
     cells_own: np.ndarray  # (B, P) matrix indices of eliminated cells (pad -> flat_len)
     cells_bor: np.ndarray  # (B, M) matrix indices of border cells (pad -> flat_len)
-    children: list[ChildLink]
+    child_groups: list[ChildGroup]
 
 
 def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
@@ -127,22 +144,26 @@ def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
 
     # split each dependency round into memory-bounded, size-homogeneous
     # chunks: fronts sorted by size so each chunk's padding is tight, and
-    # B_chunk * N^2 stays under the budget (large rounds at 1-degree scale
+    # the REAL transient allocation — padded batch x (padded max P + padded
+    # max M)^2 — stays under the budget (large rounds at 1-degree scale
     # would otherwise materialize tens of GB at once)
     chunked_rounds: list[list[int]] = []
     for node_ids in sym.rounds:
         by_size = sorted(node_ids, key=lambda nid: -sym.fronts[nid].n)
         chunk: list[int] = []
-        chunk_n = 0
+        maxp = maxm = 0
         for nid in by_size:
-            n_pad = _pad_dim(sym.fronts[nid].p) + _pad_dim(
-                max(sym.fronts[nid].n - sym.fronts[nid].p, 0))
-            if chunk and (len(chunk) + 1) * chunk_n * chunk_n * \
-                    bytes_per_elem > mem_budget_bytes:
+            f = sym.fronts[nid]
+            p2 = max(maxp, f.p)
+            m2 = max(maxm, f.n - f.p)
+            n_pad = _pad_dim(p2) + (_pad_dim(m2) if m2 > 0 else 0)
+            cost = _pad_batch(len(chunk) + 1) * n_pad * n_pad * bytes_per_elem
+            if chunk and cost > mem_budget_bytes:
                 chunked_rounds.append(chunk)
-                chunk, chunk_n = [], 0
+                chunk, maxp, maxm = [], 0, 0
             chunk.append(nid)
-            chunk_n = max(chunk_n, n_pad)
+            maxp = max(maxp, f.p)
+            maxm = max(maxm, f.n - f.p)
         if chunk:
             chunked_rounds.append(chunk)
 
@@ -150,28 +171,26 @@ def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
     slot_of_node: dict[int, tuple[int, int]] = {}
     for rnd, node_ids in enumerate(chunked_rounds):
         B_real = len(node_ids)
-        # pad the batch to a power of two as well: dummy identity fronts
-        # cost almost nothing but make (B, P, N) shapes highly reusable
-        # across chunks and problem sizes
-        B = 1
-        while B < B_real:
-            B *= 2
+        # pad the batch as well: dummy identity fronts cost almost nothing
+        # individually and make (B, P, N) shapes reusable across chunks
+        # and problem sizes
+        B = _pad_batch(B_real)
         maxp = max(sym.fronts[nid].p for nid in node_ids)
         maxm = max(sym.fronts[nid].n - sym.fronts[nid].p for nid in node_ids)
         P = _pad_dim(maxp)
         M = _pad_dim(maxm) if maxm > 0 else 0
         N = P + M
-        a_pos_l, a_src_l, eye_l = [], [], []
+        pos_l: list[np.ndarray] = [np.empty(0, np.int64)] * B
+        src_l: list[np.ndarray] = [np.empty(0, np.int64)] * B
         cells_own = np.full((B, P), flat_len, dtype=np.int64)
         cells_bor = np.full((B, M), flat_len, dtype=np.int64)
-        for b in range(B_real, B):
-            # dummy front: identity pivot block, empty border
-            eye_l.append((b * N + np.arange(P)) * N + np.arange(P))
-        children: list[ChildLink] = []
+        p_arr = np.zeros(B, dtype=np.int32)
+        links: list[tuple[int, int, int, np.ndarray]] = []
         for b, nid in enumerate(node_ids):
             f = sym.fronts[nid]
             slot_of_node[nid] = (rnd, b)
             p, n = f.p, f.n
+            p_arr[b] = p
             cells_own[b, :p] = f.cells[:p]
             if n > p:
                 cells_bor[b, :n - p] = f.cells[p:]
@@ -187,30 +206,39 @@ def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
 
             ent = order[bounds[nid]:bounds[nid + 1]]
             if len(ent):
-                er, ecol = rows[ent], cols[ent]
-                rp = pos_of(er)
-                cp = pos_of(ecol)
-                a_pos_l.append((b * N + rp) * N + cp)
-                a_src_l.append(entry_src[ent])
-            eye_l.append((b * N + np.arange(p, P)) * N + np.arange(p, P))
+                rp = pos_of(rows[ent])
+                cp = pos_of(cols[ent])
+                pos_l[b] = rp * N + cp
+                src_l[b] = entry_src[ent]
             for ch in f.children:
                 cf = sym.fronts[ch]
                 src_rnd, src_slot = slot_of_node[ch]
                 M_src = plans[src_rnd].M
-                inv = np.full(N, M_src, dtype=np.int64)
+                inv = np.full(N, M_src, dtype=np.int32)
                 q = pos_of(cf.cells[cf.p:])
                 inv[q] = np.arange(cf.n - cf.p)
-                children.append(ChildLink(src_round=src_rnd, src_slot=src_slot,
-                                          dst_slot=b, inv=inv))
+                links.append((src_rnd, src_slot, b, inv))
+        # per-front entry lists padded to a rectangle: pad positions point
+        # one past the front (dropped by the scatter), pad sources point at
+        # the sentinel zero appended to nzval
+        E = max((len(x) for x in pos_l), default=0)
+        a_pos = np.full((B, max(E, 1)), N * N, dtype=np.int32)
+        a_src = np.full((B, max(E, 1)), nnz, dtype=np.int64)
+        for b in range(B):
+            a_pos[b, :len(pos_l[b])] = pos_l[b]
+            a_src[b, :len(src_l[b])] = src_l[b]
+        groups: list[ChildGroup] = []
+        for src_rnd in sorted({l[0] for l in links}):
+            sel = [l for l in links if l[0] == src_rnd]
+            groups.append(ChildGroup(
+                src_round=src_rnd,
+                src_slots=np.array([l[1] for l in sel], dtype=np.int32),
+                dst_slots=np.array([l[2] for l in sel], dtype=np.int32),
+                inv=np.stack([l[3] for l in sel])))
         plans.append(RoundPlan(
             node_ids=list(node_ids), B=B, P=P, N=N, M=M,
-            a_pos=(np.concatenate(a_pos_l) if a_pos_l
-                   else np.empty(0, np.int64)),
-            a_src=(np.concatenate(a_src_l) if a_src_l
-                   else np.empty(0, np.int64)),
-            eye_pos=(np.concatenate(eye_l) if eye_l
-                     else np.empty(0, np.int64)),
-            cells_own=cells_own, cells_bor=cells_bor, children=children))
+            a_pos=a_pos, a_src=a_src, p_arr=p_arr,
+            cells_own=cells_own, cells_bor=cells_bor, child_groups=groups))
     return plans
 
 
@@ -219,21 +247,38 @@ def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("B", "N"))
-def _assemble(avals, a_pos, eye_pos, B: int, N: int):
-    F = jnp.zeros((B * N * N,), dtype=avals.dtype)
-    F = F.at[a_pos].add(avals)
-    F = F.at[eye_pos].add(jnp.ones((), avals.dtype))
-    return F.reshape(B, N, N)
+@functools.partial(jax.jit, static_argnames=("N", "P"))
+def _assemble(nzval_ext, a_pos, a_src, p_arr, N: int, P: int):
+    """Per-front scatter of the CSR values (vmapped over the batch, so the
+    front axis shards cleanly over a device mesh) plus the identity padding
+    on unused pivot-diagonal positions."""
+
+    def one(pos, src):
+        vals = nzval_ext[src]
+        return jnp.zeros((N * N,), nzval_ext.dtype).at[pos].add(
+            vals, mode="drop")
+
+    F = jax.vmap(one)(a_pos, a_src).reshape(-1, N, N)
+    ar = jnp.arange(P)
+    eye = (ar[None, :] >= p_arr[:, None]).astype(F.dtype)
+    return F.at[:, ar, ar].add(eye)
 
 
-@jax.jit
-def _extend_add(F, S_src, inv, dst_slot):
-    """F[dst] += S_src[src_pad][inv][:, inv] with S padded by a zero row/col."""
-    m = S_src.shape[0]
-    Sp = jnp.pad(S_src, ((0, 1), (0, 1)))
-    add = Sp[inv][:, inv]
-    return F.at[dst_slot].add(add)
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _extend_add(F, S_src, src_slots, dst_slots, inv):
+    """Batched extend-add of one source round's Schur complements:
+    F[dst_slots[l]] += S_src[src_slots[l]][inv[l]][:, inv[l]], with S padded
+    by a zero row/column so out-of-front positions contribute nothing.
+    Duplicate dst slots (a front with several children in the same source
+    round) accumulate through the scatter-add."""
+    Sp = jnp.pad(S_src, ((0, 0), (0, 1), (0, 1)))
+    G = Sp[src_slots]
+
+    def one(g, iv):
+        return g[iv][:, iv]
+
+    adds = jax.vmap(one)(G, inv)
+    return F.at[dst_slots].add(adds)
 
 
 def _pivoted_panel(Pan, off: int, p_arr):
@@ -296,10 +341,14 @@ def _partial_factor_body(F, P: int, p_arr):
     """Blocked LU with restricted partial pivoting of F[:, :P, :P]; TRSM of
     the off-blocks; Schur update.
 
-    Returns (F_factored, S, perm) where F holds P_r A = L\\U in [:P,:P],
-    U12 in [:P,P:], L21 in [P:,:P] (border rows are never permuted),
-    S = F22 - L21 @ U12, and perm (B, P) maps solve positions to original
-    eliminated-row order.
+    Returns (FP, L21, S, perm): FP = F[:, :P, :] holds P_r A = L\\U in the
+    [:, :, :P] square and U12 in [:, :, P:]; L21 = F[:, P:, :P] (border rows
+    are never permuted); S = F22 - L21 @ U12; perm (B, P) maps solve
+    positions to original eliminated-row order. Only these blocks are
+    returned — the factored border x border quadrant is dead weight for the
+    solve (at gx3 scale it was 4.6 GB of the round-1 OOM) and the input
+    buffer is donated, so the full (B, N, N) front exists only transiently
+    inside this program.
     """
     N = F.shape[-1]
     B = F.shape[0]
@@ -349,19 +398,18 @@ def _partial_factor_body(F, P: int, p_arr):
                                    precision=jax.lax.Precision.HIGHEST)
             F = jax.lax.dynamic_update_slice(F, A22, (0, off + T, off + T))
     S = F[:, P:, P:]
-    return F, S, perm_total
+    return F[:, :P, :], F[:, P:, :P], S, perm_total
 
 
 _partial_factor = jax.jit(_partial_factor_body, static_argnames=("P",))
 
 
-def _fwd_round(W, F, perm, cells_own, cells_bor):
+def _fwd_round(W, FP, L21, perm, cells_own, cells_bor):
     """Forward substitution for one round, batched over fronts.
 
     W is (flat_len+1, nrhs) with a trailing dump row for padding."""
     P = cells_own.shape[1]
-    L11 = F[:, :P, :P]
-    L21 = F[:, P:, :P]
+    L11 = FP[:, :, :P]
     rhs = W[cells_own]                                  # (B, P, nrhs)
     rhs = jnp.take_along_axis(rhs, perm[:, :, None], axis=1)
     y = triangular_solve(L11, rhs, left_side=True, lower=True,
@@ -374,10 +422,10 @@ def _fwd_round(W, F, perm, cells_own, cells_bor):
     return W
 
 
-def _bwd_round(W, F, cells_own, cells_bor):
+def _bwd_round(W, FP, cells_own, cells_bor):
     P = cells_own.shape[1]
-    U11 = F[:, :P, :P]
-    U12 = F[:, :P, P:]
+    U11 = FP[:, :, :P]
+    U12 = FP[:, :, P:]
     rhs = W[cells_own]
     xb = W[cells_bor]
     rhs = rhs - jnp.matmul(U12, xb, preferred_element_type=rhs.dtype,
@@ -389,26 +437,40 @@ def _bwd_round(W, F, cells_own, cells_bor):
 
 
 class JaxMultifrontal:
-    """TPU numeric engine. The whole numeric factorization is ONE compiled
-    XLA program (chunks unrolled; XLA's buffer liveness frees consumed
-    Schur stacks), and the whole forward+backward triangular sweep is ONE
-    compiled program per nrhs — a single device dispatch per factor/solve,
-    which matters enormously on a remote-dispatch TPU link."""
+    """TPU numeric engine. Factorization runs as bucket-shaped per-chunk
+    kernels (compiled shapes reused across chunks and matrices); the whole
+    forward+backward triangular sweep is ONE compiled program per nrhs — a
+    single device dispatch per solve, which matters enormously on a
+    remote-dispatch TPU link.
+
+    With ``mesh`` given, the front batch of every round is sharded over the
+    mesh's leading axis: plan constants are device_put with a NamedSharding
+    and GSPMD propagates the sharding through assembly, extend-add (whose
+    cross-round Schur gathers become the inter-device traffic — the TPU
+    form of SuperLU_DIST's L/U panel distribution over the nprow x npcol
+    grid, reference solve_ABglobal.c:307), the batched partial factor, and
+    the level-wave triangular solves. Rounds whose batch does not divide
+    the mesh stay replicated (the top-of-tree fronts, where batch
+    parallelism has run out anyway)."""
 
     def __init__(self, sym: SymbolicFactorization, matrix: SparseMatrix,
-                 precision=None):
+                 precision=None, mesh=None, mesh_axis: str | None = None):
         self.sym = sym
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis or (mesh.axis_names[0] if mesh is not None
+                                       else None)
         if precision is None:
             precision = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.prec = precision
-        # triangular solves lower to blocked matmuls that follow the global
-        # default matmul precision; bf16 passes would wreck a direct solver
-        jax.config.update("jax_default_matmul_precision", "highest")
-        try:  # persistent cache: kernels recompile across processes
+        try:  # persistent cache: kernels recompile across processes.
+            # Only set when the process hasn't chosen one — this is the one
+            # global knob we touch, and we never override a user setting.
             import os
-            cache = os.environ.get("NK_TPU_JAX_CACHE",
-                                   os.path.expanduser("~/.nk_tpu_jax_cache"))
-            jax.config.update("jax_compilation_cache_dir", cache)
+            if jax.config.jax_compilation_cache_dir is None:
+                cache = os.environ.get(
+                    "NK_TPU_JAX_CACHE",
+                    os.path.expanduser("~/.nk_tpu_jax_cache"))
+                jax.config.update("jax_compilation_cache_dir", cache)
         except Exception:
             pass
         with timed("build round plans"):
@@ -418,68 +480,83 @@ class JaxMultifrontal:
         self._solve_jit = {}
         self._factorize(matrix)
 
+    def _put(self, arr, batch: int | None):
+        """Device placement honoring the mesh: shard dim 0 over the mesh
+        axis when the batch divides it, replicate otherwise (and always
+        when single-device)."""
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec
+        ndev = self.mesh.shape[self.mesh_axis]
+        nd = np.ndim(arr)
+        if batch is not None and batch % ndev == 0:
+            spec = PartitionSpec(self.mesh_axis, *([None] * (nd - 1)))
+        else:
+            spec = PartitionSpec(*([None] * nd))
+        return jax.device_put(np.asarray(arr), NamedSharding(self.mesh, spec))
+
     def _device_constants(self):
         """Plan index arrays as device buffers, passed (not embedded) into
-        the compiled programs."""
+        the compiled programs. Batch-indexed arrays are sharded over the
+        mesh; link arrays stay replicated (they are tiny — the Schur
+        stacks they index carry the real data movement)."""
         c = []
         for p in self.plans:
-            p_arr = np.zeros(p.B, dtype=np.int32)
-            p_arr[:len(p.node_ids)] = [self.sym.fronts[nid].p
-                                       for nid in p.node_ids]
             c.append(dict(
-                a_pos=jnp.asarray(p.a_pos), a_src=jnp.asarray(p.a_src),
-                eye_pos=jnp.asarray(p.eye_pos), p_arr=jnp.asarray(p_arr),
-                own=jnp.asarray(p.cells_own), bor=jnp.asarray(p.cells_bor),
-                inv=[jnp.asarray(l.inv) for l in p.children]))
+                a_pos=self._put(p.a_pos, p.B), a_src=self._put(p.a_src, p.B),
+                p_arr=self._put(p.p_arr, p.B),
+                own=self._put(p.cells_own, p.B),
+                bor=self._put(p.cells_bor, p.B),
+                groups=[(g.src_round, self._put(g.src_slots, None),
+                         self._put(g.dst_slots, None), self._put(g.inv, None))
+                        for g in p.child_groups]))
         return c
 
     # -- factorization: per-chunk bucketed kernels -------------------------
-    # (compiled shapes are powers of two, so kernels are reused across
-    # chunks of one problem AND across problem sizes; the solve path stays
-    # fused into one program because per-solve dispatch latency matters)
+    # (compiled shapes are bucketed, so kernels are reused across chunks
+    # of one problem AND across problem sizes; the solve path stays fused
+    # into one program because per-solve dispatch latency matters)
 
     def _flatten_consts(self):
+        """The solve program's constants: per-round cell index maps."""
         flat = []
         for cc in self._consts:
-            flat.extend([cc["a_pos"], cc["a_src"], cc["eye_pos"],
-                         cc["p_arr"], cc["own"], cc["bor"]])
-            flat.extend(cc["inv"])
+            flat.extend([cc["own"], cc["bor"]])
         return tuple(flat)
 
     def _unflatten_consts(self, flat):
-        out = []
-        i = 0
-        for p in self.plans:
-            cc = dict(a_pos=flat[i], a_src=flat[i + 1], eye_pos=flat[i + 2],
-                      p_arr=flat[i + 3], own=flat[i + 4], bor=flat[i + 5])
-            i += 6
-            cc["inv"] = list(flat[i:i + len(p.children)])
-            i += len(p.children)
-            out.append(cc)
-        return out
+        return [dict(own=flat[i], bor=flat[i + 1])
+                for i in range(0, 2 * len(self.plans), 2)]
 
     def _factorize(self, matrix: SparseMatrix) -> None:
-        nzval = jnp.asarray(matrix.nzval, dtype=self.prec)
-        with timed("factor dispatch"):
+        # sentinel zero at the end: padded a_src entries contribute nothing
+        nz = np.zeros(len(matrix.nzval) + 1, dtype=self.prec)
+        nz[:-1] = matrix.nzval
+        nzval_ext = self._put(nz, None)
+        # triangular solves lower to blocked matmuls that follow the
+        # default matmul precision; bf16 passes would wreck a direct
+        # solver. Scoped here (tracing happens inside) rather than flipped
+        # process-globally — the GEMM call sites also pass HIGHEST
+        # explicitly.
+        with timed("factor dispatch"), jax.default_matmul_precision("highest"):
             factors = []
             schur: list = [None] * len(self.plans)
             uses = [0] * len(self.plans)
             for plan in self.plans:
-                for link in plan.children:
-                    uses[link.src_round] += 1
+                for g in plan.child_groups:
+                    uses[g.src_round] += 1
             for rnd, plan in enumerate(self.plans):
                 cc = self._consts[rnd]
-                avals = nzval[cc["a_src"]]
-                F = _assemble(avals, cc["a_pos"], cc["eye_pos"],
-                              B=plan.B, N=plan.N)
-                for li, link in enumerate(plan.children):
-                    F = _extend_add(F, schur[link.src_round][link.src_slot],
-                                    cc["inv"][li], link.dst_slot)
-                    uses[link.src_round] -= 1
-                    if uses[link.src_round] == 0:
-                        schur[link.src_round] = None
-                F, S, perm = _partial_factor(F, P=plan.P, p_arr=cc["p_arr"])
-                factors.append((F, perm))
+                F = _assemble(nzval_ext, cc["a_pos"], cc["a_src"],
+                              cc["p_arr"], N=plan.N, P=plan.P)
+                for src_rnd, ss, ds, inv in cc["groups"]:
+                    F = _extend_add(F, schur[src_rnd], ss, ds, inv)
+                    uses[src_rnd] -= 1
+                    if uses[src_rnd] == 0:
+                        schur[src_rnd] = None
+                FP, L21, S, perm = _partial_factor(F, P=plan.P,
+                                                   p_arr=cc["p_arr"])
+                factors.append((FP, L21, perm))
                 schur[rnd] = S
             self.factors = tuple(factors)
             jax.block_until_ready(self.factors)
@@ -493,11 +570,12 @@ class JaxMultifrontal:
     def _solve_program(self, W, factors, flat_consts):
         consts = self._unflatten_consts(flat_consts)
         for rnd in range(len(self.plans)):
-            F, perm = factors[rnd]
-            W = _fwd_round(W, F, perm, consts[rnd]["own"], consts[rnd]["bor"])
+            FP, L21, perm = factors[rnd]
+            W = _fwd_round(W, FP, L21, perm,
+                           consts[rnd]["own"], consts[rnd]["bor"])
         for rnd in range(len(self.plans) - 1, -1, -1):
-            F, perm = factors[rnd]
-            W = _bwd_round(W, F, consts[rnd]["own"], consts[rnd]["bor"])
+            FP, L21, perm = factors[rnd]
+            W = _bwd_round(W, FP, consts[rnd]["own"], consts[rnd]["bor"])
         return W
 
     def solve(self, b: np.ndarray) -> np.ndarray:
@@ -509,9 +587,13 @@ class JaxMultifrontal:
         if nrhs not in self._solve_jit:
             self._solve_jit[nrhs] = jax.jit(self._solve_program,
                                             donate_argnums=(0,))
-        Wh = np.zeros((self.flat_len + 1, nrhs), dtype=np.float64)
+        # stage the RHS in factorization precision directly — a transient
+        # float64 copy of (flat_len+1, nrhs) doubled peak memory exactly at
+        # the point the factors are resident
+        Wh = np.zeros((self.flat_len + 1, nrhs), dtype=self.prec)
         Wh[:self.flat_len] = B
-        W = jnp.asarray(Wh, dtype=self.prec)
-        W = self._solve_jit[nrhs](W, self.factors, self._flatten_consts())
+        W = self._put(Wh, None)     # replicated under a mesh
+        with jax.default_matmul_precision("highest"):
+            W = self._solve_jit[nrhs](W, self.factors, self._flatten_consts())
         X = np.asarray(W[:self.flat_len], dtype=np.float64)
         return X[:, 0] if single else X

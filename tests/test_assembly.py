@@ -189,3 +189,40 @@ def test_divfree_row_sums(files):
     # resumming the column-sorted CSR reorders divfree's fold, so only
     # roundoff-level residuals are expected
     assert np.abs(sums[: rows_nonempty.sum()]).max() <= 1e-12 * np.abs(nzval).max()
+
+
+def test_vertical_upwind3_weights_golden():
+    """Golden pin of the nonuniform vertical QUICK weights (the POP dzc/
+    talfzp..tdelzm formulas, reference src/matrix.c:1878-1901). The loop
+    oracle imports the production weights, so this pin is the independent
+    cross-check: values below were hand-derived from the reference's
+    formulas for dz = [50, 60, 80, 110, 160, 250]."""
+    from nk_ocn_tracer_jacobian_precond_tpu.ops.adv import (
+        vertical_upwind3_weights)
+
+    dz = np.array([50.0, 60.0, 80.0, 110.0, 160.0, 250.0])
+    golden = {
+        "talfzp": [3.2467532467532467e-01, 2.9142857142857143e-01,
+                   2.8070175438596490e-01, 2.6570048309178745e-01,
+                   2.4677187948350074e-01, 0.0],
+        "tbetzp": [6.7532467532467533e-01, 8.8311688311688308e-01,
+                   9.0977443609022557e-01, 9.3567251461988299e-01,
+                   9.7109304426377596e-01, 0.0],
+        "tgamzp": [0.0, -1.7454545454545453e-01, -1.9047619047619047e-01,
+                   -2.0137299771167050e-01, -2.1786492374727670e-01, 0.0],
+        "talfzm": [6.4935064935064934e-01, 6.0902255639097747e-01,
+                   5.9259259259259256e-01, 5.6639566395663954e-01,
+                   5.8536585365853655e-01, 0.0],
+        "tbetzm": [4.3636363636363640e-01, 4.6753246753246752e-01,
+                   4.7826086956521741e-01, 4.9673202614379086e-01,
+                   5.0254623425355127e-01, 0.0],
+        "tdelzm": [-8.5714285714285715e-02, -7.6555023923444973e-02,
+                   -7.0853462157809993e-02, -6.3127690100430414e-02,
+                   -8.7912087912087919e-02, 0.0],
+    }
+    got = dict(zip(["talfzp", "tbetzp", "tgamzp",
+                    "talfzm", "tbetzm", "tdelzm"],
+                   vertical_upwind3_weights(dz)))
+    for name, vals in golden.items():
+        np.testing.assert_allclose(got[name], vals, rtol=1e-15,
+                                   err_msg=name)

@@ -1,0 +1,87 @@
+"""Distributed multifrontal solver tests on the simulated 8-device CPU
+mesh (conftest.py sets --xla_force_host_platform_device_count=8).
+
+This is the rebuild's test for the solve_ABdist capability: the numeric
+factorization and triangular solves sharded over a device mesh must match
+the single-device engine, and the per-device factor storage must actually
+drop (the whole point of the reference's distributed mode,
+src/solve_ABdist.c:106-244). The reference could only test this on a real
+MPI cluster (SURVEY.md §4).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from nk_ocn_tracer_jacobian_precond_tpu.drivers.gen_a import run_gen_a
+from nk_ocn_tracer_jacobian_precond_tpu.grid.indmap import load_ind_maps
+from nk_ocn_tracer_jacobian_precond_tpu.io.matrixfile import read_matrix_file
+from nk_ocn_tracer_jacobian_precond_tpu.ops import (
+    AssemblyOptions, PerTracerOptions)
+from nk_ocn_tracer_jacobian_precond_tpu.parallel import make_mesh
+from nk_ocn_tracer_jacobian_precond_tpu.solver.mf import (
+    MultifrontalFactorization)
+from nk_ocn_tracer_jacobian_precond_tpu.testdata import make_circ_file
+
+IMT, JMT, KM = 24, 20, 6
+
+
+@pytest.fixture(scope="module")
+def problem(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dist")
+    circ = str(d / "circ.nc")
+    make_circ_file(circ, imt=IMT, jmt=JMT, km=KM, seed=11)
+    mat = str(d / "matrix.nc")
+    pt = PerTracerOptions(sink_type="const", sink_rate=1.21e-4)
+    opts = AssemblyOptions(circ_fname=circ, hmix_type="isop_file",
+                           vmix_type="file", per_tracer=[pt])
+    run_gen_a(mat, opts=opts)
+    return read_matrix_file(mat), load_ind_maps(mat)
+
+
+def _n_dev():
+    return len(jax.devices())
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_distributed_matches_single_device(problem):
+    matrix, maps = problem
+    mf_1 = MultifrontalFactorization(matrix, impl="jax", maps=maps)
+    mf_8 = MultifrontalFactorization(matrix, impl="jax", maps=maps,
+                                     sym=mf_1.sym, n_devices=8)
+    rng = np.random.default_rng(5)
+    B = rng.standard_normal((matrix.flat_len, 3))
+    X1 = mf_1.solve(B)
+    X8 = mf_8.solve(B)
+    np.testing.assert_allclose(X8, X1, rtol=1e-10, atol=1e-12)
+    A = matrix.to_scipy()
+    rel = np.linalg.norm(A @ X8 - B, axis=0) / np.linalg.norm(B, axis=0)
+    assert rel.max() < 1e-11
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_distributed_factors_are_sharded(problem):
+    """The big rounds' factor stacks must live sharded over the mesh —
+    per-device bytes for those rounds ~ 1/n_devices of the total."""
+    matrix, maps = problem
+    mesh = make_mesh(8, ("front",))
+    mf = MultifrontalFactorization(matrix, impl="jax", maps=maps, mesh=mesh)
+    eng = mf.engine
+    sharded_rounds = 0
+    for plan, (FP, L21, perm) in zip(eng.plans, eng.factors):
+        if plan.B % 8 == 0:
+            # sharded over the front axis: each device holds B/8 fronts
+            assert not FP.sharding.is_fully_replicated, plan.B
+            shard_shape = FP.sharding.shard_shape(FP.shape)
+            assert shard_shape[0] == plan.B // 8
+            sharded_rounds += 1
+    assert sharded_rounds >= 1
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_n_devices_flag_fails_loudly_when_unavailable(problem):
+    matrix, maps = problem
+    with pytest.raises(ValueError, match="devices"):
+        MultifrontalFactorization(matrix, impl="jax", maps=maps,
+                                  n_devices=64)
