@@ -1,0 +1,116 @@
+"""Multi-chip dry run: the FULL distributed preconditioner workflow on an
+n-device mesh, executable on a single host via XLA's simulated devices.
+
+Exercises everything the distributed mode (the reference's solve_ABdist,
+src/solve_ABdist.c:422-612) does, on tiny shapes:
+
+  1. assemble a Jacobian, factor it with the front batches sharded over
+     the mesh (distributed multifrontal — the pdgstrf replacement),
+  2. run the level-wave triangular solves for a multi-RHS batch,
+  3. refine with the latitude-band-sharded stencil SpMV (ppermute halo
+     rings — the pdgsrfs replacement),
+  4. cross-check the distributed solution against scipy's SuperLU.
+
+Run as a module in a clean process (jax must not have initialized yet):
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python -m nk_ocn_tracer_jacobian_precond_tpu.parallel.dryrun 8
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def run(n_devices: int) -> None:
+    import jax
+
+    if len(jax.devices()) < n_devices:
+        raise RuntimeError(
+            f"dryrun needs {n_devices} devices, jax sees {len(jax.devices())}"
+            " — run in a fresh process with XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={n_devices}")
+
+    from ..io.matrixfile import SparseMatrix
+    from ..ops.assemble import to_csr
+    from ..solver.mf import MultifrontalFactorization
+    from .demo import make_demo_assembly
+    from .mesh import make_mesh
+    from .stencil import StencilOperator
+
+    asm, maps = make_demo_assembly(imt=16, jmt=16, km=4,
+                                   adv_type="upwind3", hmix_type="isop_file")
+    nzval, colind, rowptr = to_csr(asm)
+    matrix = SparseMatrix(nzval=nzval, colind=colind, rowptr=rowptr,
+                          coupled_tracer_cnt=asm.nt)
+
+    # --- distributed factor + level-wave triangular solves ----------------
+    fac = MultifrontalFactorization(matrix, impl="jax", maps=maps,
+                                    n_devices=n_devices)
+    eng = fac.engine
+    assert eng.mesh is not None
+    sharded = sum(1 for plan, (FP, _, _) in zip(eng.plans, eng.factors)
+                  if not FP.sharding.is_fully_replicated)
+    assert sharded >= 1, "no factor round ended up sharded over the mesh"
+
+    rng = np.random.default_rng(0)
+    B = rng.standard_normal((matrix.flat_len, 3))
+    X = fac.solve(B)
+
+    # cross-check against an independent factorization (scipy SuperLU).
+    # The synthetic upwind3+random-IRF matrix is genuinely ill-conditioned
+    # (chosen because it exercises the widest stencil), so the bar is
+    # SuperLU's own achieved residual on the same system, not an absolute
+    # tolerance.
+    A = matrix.to_scipy()
+    from scipy.sparse.linalg import splu
+    X_ref = splu(A.tocsc()).solve(B)
+    rel = np.linalg.norm(A @ X - B, axis=0) / np.linalg.norm(B, axis=0)
+    rel_ref = np.linalg.norm(A @ X_ref - B, axis=0) / np.linalg.norm(B, axis=0)
+    floor = 1e-10 if jax.config.jax_enable_x64 else 1e-7
+    bar = max(floor, 10.0 * rel_ref.max())
+    assert rel.max() <= bar, \
+        f"distributed residual {rel.max():.3e} vs SuperLU {rel_ref.max():.3e}"
+
+    # --- sharded stencil SpMV (the refinement operator) -------------------
+    op = StencilOperator.from_assembly(asm)
+    mesh = make_mesh(n_devices, ("band",))
+    apply_fn, sharding, pad_field, unpad_field = op.sharded_apply_factory(mesh)
+    km, jmt, imt = op.shape
+    wet = np.arange(km)[:, None, None] < np.asarray(asm.grid.KMT)[None]
+    x3 = np.where(wet, rng.standard_normal((km, jmt, imt)), 0.0)[None]
+    x3 = np.repeat(x3, op.nt, axis=0)
+    y_sh = unpad_field(apply_fn(jax.device_put(pad_field(x3), sharding)))
+    import jax.numpy as jnp
+    y_loc = np.asarray(op._device_copy().apply(jnp.asarray(x3)))
+    scale = max(np.abs(y_loc).max(), 1.0)
+    assert np.allclose(y_sh, y_loc, rtol=1e-5, atol=1e-6 * scale), \
+        "sharded stencil SpMV mismatch"
+
+    print(f"dryrun ok: {n_devices} devices, {sharded} sharded factor "
+          f"rounds, max residual {rel.max():.3e} "
+          f"(SuperLU on same system: {rel_ref.max():.3e})")
+
+
+def main(argv=None) -> int:
+    import os
+
+    if os.environ.get("NK_DRYRUN_CPU"):
+        # the environment's sitecustomize pre-imports jax pinned to the
+        # real TPU backend in EVERY python process; env vars alone cannot
+        # override it. Backends initialize lazily, so redirecting the
+        # config here (before first device use) still works, and
+        # XLA_FLAGS=--xla_force_host_platform_device_count=N set by the
+        # parent is read when the CPU backend is created.
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    n = int((argv or sys.argv[1:])[0]) if (argv or sys.argv[1:]) else 8
+    run(n)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
