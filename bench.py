@@ -72,6 +72,10 @@ def bench_scipy(matrix, B, tol):
 
 
 def bench_mf(matrix, maps, B, tol, impl):
+    # entry-point scope: enable x64 so refinement accumulates residuals in
+    # float64 on device (factors stay float32 on TPU, mf_jax.py)
+    import jax
+    jax.config.update("jax_enable_x64", True)
     from nk_ocn_tracer_jacobian_precond_tpu.solver.mf import (
         MultifrontalFactorization)
     from nk_ocn_tracer_jacobian_precond_tpu.solver.symbolic import (
@@ -89,15 +93,19 @@ def bench_mf(matrix, maps, B, tol, impl):
     fac = MultifrontalFactorization(matrix, impl=impl, maps=maps, sym=sym,
                                     refine_tol=tol)
     t_factor = time.perf_counter() - t0
+    t0 = time.perf_counter()
     X = fac.solve(B)           # warm-up solve (compiles)
+    t_solve_cold = time.perf_counter() - t0
     t0 = time.perf_counter()
     X = fac.solve(B)
     t_solve = time.perf_counter() - t0
     res = _residual(matrix, X, B)
     print(f"# symbolic {t_sym:.2f}s, cold factor {t_factor_cold:.2f}s, "
-          f"steady factor {t_factor:.2f}s, solve {t_solve:.3f}s, "
-          f"max residual {res:.2e}", file=sys.stderr)
-    return t_factor, t_solve, res
+          f"steady factor {t_factor:.2f}s, cold solve {t_solve_cold:.2f}s, "
+          f"solve {t_solve:.3f}s, max residual {res:.2e}", file=sys.stderr)
+    return dict(factor=t_factor, solve=t_solve, res=res,
+                cold_factor=t_factor_cold, cold_solve=t_solve_cold,
+                symbolic=t_sym)
 
 
 def _residual(matrix, X, B):
@@ -125,10 +133,10 @@ def main():
     s_factor, s_solve, s_res = bench_scipy(matrix, B, args.tol)
     print(f"# scipy SuperLU: factor {s_factor:.2f}s solve {s_solve:.3f}s "
           f"residual {s_res:.2e}", file=sys.stderr)
-    m_factor, m_solve, m_res = bench_mf(matrix, maps, B, args.tol, args.impl)
+    m = bench_mf(matrix, maps, B, args.tol, args.impl)
 
-    ok = m_res <= 1e-10
-    ours = m_factor + m_solve
+    ok = m["res"] <= 1e-10
+    ours = m["factor"] + m["solve"]
     base = s_factor + s_solve
     print(json.dumps({
         "metric": f"jacobian factor+{args.nrhs}-rhs solve wall-clock, "
@@ -137,6 +145,12 @@ def main():
         "value": round(ours, 4),
         "unit": "s",
         "vs_baseline": round(base / ours, 3) if ours > 0 else 0.0,
+        "residual": float(f"{m['res']:.3e}"),
+        "cold_factor_s": round(m["cold_factor"], 2),
+        "cold_solve_s": round(m["cold_solve"], 2),
+        "symbolic_s": round(m["symbolic"], 2),
+        "baseline_factor_s": round(s_factor, 2),
+        "baseline_solve_s": round(s_solve, 3),
     }))
 
 

@@ -106,6 +106,14 @@ def main(argv=None) -> int:
     p.add_argument("matrix_fname")
     p.add_argument("inout_fname")
     args = p.parse_args(argv)
+    if args.backend != "scipy":
+        try:
+            # entry-point scope (drivers own process-global config, the
+            # library does not): float64 residual accumulation on device
+            import jax
+            jax.config.update("jax_enable_x64", True)
+        except Exception:
+            pass
     n_devices = None
     if args.npgrid:
         parts = [int(x) for x in args.npgrid.split(",")]

@@ -128,11 +128,34 @@ class MultifrontalFactorization:
         y = np.asarray(self.engine.solve(scaled_b), dtype=np.float64)
         return self.dc[:, None] * y if y.ndim == 2 else self.dc * y
 
+    def _device_refiner(self):
+        if getattr(self, "_refiner", None) is None:
+            from .refine import DeviceRefiner
+            self._refiner = DeviceRefiner(
+                self.engine, self.matrix, dr=self.dr, dc=self.dc,
+                tol=max(self.refine_tol, 1e-13))
+        return self._refiner
+
     def solve(self, b: np.ndarray, refine: bool = True) -> np.ndarray:
         from .api import iterative_refinement
         b = np.asarray(b, dtype=np.float64)
         single = b.ndim == 1
         B = b[:, None] if single else b
+        if refine and self.impl == "jax":
+            import jax
+            if jax.config.jax_enable_x64:
+                # fully device-resident path: float64 SpMV + float32
+                # preconditioner, batched over all RHS, one dispatch per
+                # restart cycle (no host SpMVs, no per-iteration
+                # host<->device round trips)
+                X = self._device_refiner().solve(B)
+                rel = _rel_residuals(self.A, X, B)
+                if rel.max() > 100 * self.refine_tol:
+                    import warnings
+                    warnings.warn(
+                        f"device GMRES-IR stalled at max relative residual "
+                        f"{rel.max():.3e}", RuntimeWarning, stacklevel=2)
+                return X[:, 0] if single else X
         with timed("mf solve"):
             X = self._precond_solve(B)
         if refine:

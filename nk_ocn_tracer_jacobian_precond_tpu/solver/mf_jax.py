@@ -337,6 +337,58 @@ def _seq_to_perm(piv, R: int):
     return jax.lax.fori_loop(0, T, body, perm)
 
 
+def _block_tri_inv(T, lower: bool, unit_diagonal: bool):
+    """Invert a batched triangular matrix (B, P, P) by blocks: the PANEL
+    diagonal blocks via lax trisolve (tiny, sequential inside), the
+    off-diagonal blocks via MXU GEMMs. XLA:TPU's triangular_solve against
+    a full identity is serial in the block count and brutally slow at
+    P ~ 10^3; this blocked form is GEMM-dominated."""
+    B, Pdim, _ = T.shape
+    bs = min(PANEL, Pdim)          # padded dims are powers of two below 128
+    nb = Pdim // bs
+    eye = jnp.eye(bs, dtype=T.dtype)
+    # invert the diagonal blocks
+    Dinv = []
+    for i in range(nb):
+        o = i * bs
+        Ti = jax.lax.dynamic_slice(T, (0, o, o), (B, bs, bs))
+        Dinv.append(triangular_solve(
+            Ti, jnp.broadcast_to(eye, (B, bs, bs)), left_side=True,
+            lower=lower, unit_diagonal=unit_diagonal))
+    X = [[None] * nb for _ in range(nb)]
+    for i in range(nb):
+        X[i][i] = Dinv[i]
+    order = range(1, nb) if lower else range(nb - 2, -1, -1)
+    # lower: X[i][j] = -Dinv[i] @ sum_{j<=k<i} T[i][k] X[k][j]
+    # upper: X[i][j] = -Dinv[i] @ sum_{i<k<=j} T[i][k] X[k][j]
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    if lower:
+        for i in range(1, nb):
+            for j in range(i - 1, -1, -1):
+                acc = 0.0
+                for k in range(j, i):
+                    Tik = jax.lax.dynamic_slice(
+                        T, (0, i * bs, k * bs), (B, bs, bs))
+                    acc = acc + mm(Tik, X[k][j])
+                X[i][j] = -mm(Dinv[i], acc)
+    else:
+        for i in range(nb - 2, -1, -1):
+            for j in range(i + 1, nb):
+                acc = 0.0
+                for k in range(i + 1, j + 1):
+                    Tik = jax.lax.dynamic_slice(
+                        T, (0, i * bs, k * bs), (B, bs, bs))
+                    acc = acc + mm(Tik, X[k][j])
+                X[i][j] = -mm(Dinv[i], acc)
+    rows = []
+    zero = jnp.zeros((B, bs, bs), dtype=T.dtype)
+    for i in range(nb):
+        rows.append(jnp.concatenate(
+            [X[i][j] if X[i][j] is not None else zero for j in range(nb)],
+            axis=2))
+    return jnp.concatenate(rows, axis=1)
+
+
 def _partial_factor_body(F, P: int, p_arr):
     """Blocked LU with restricted partial pivoting of F[:, :P, :P]; TRSM of
     the off-blocks; Schur update.
@@ -398,7 +450,17 @@ def _partial_factor_body(F, P: int, p_arr):
                                    precision=jax.lax.Precision.HIGHEST)
             F = jax.lax.dynamic_update_slice(F, A22, (0, off + T, off + T))
     S = F[:, P:, P:]
-    return F[:, :P, :], F[:, P:, :P], S, perm_total
+    # replace the packed L11\U11 block with its packed inverses
+    # K = stril(L11^-1) + triu(U11^-1): the triangular solves of the
+    # per-RHS solve path become pure MXU GEMMs (XLA:TPU's triangular_solve
+    # is serial in the panel count — a latency disaster when the solve is
+    # reapplied dozens of times as a Krylov preconditioner)
+    LU11 = F[:, :P, :P]
+    Linv = _block_tri_inv(LU11, lower=True, unit_diagonal=True)
+    Uinv = _block_tri_inv(LU11, lower=False, unit_diagonal=False)
+    K = jnp.tril(Linv, -1) + jnp.triu(Uinv)
+    FP = jnp.concatenate([K, F[:, :P, P:]], axis=2)
+    return FP, F[:, P:, :P], S, perm_total
 
 
 _partial_factor = jax.jit(_partial_factor_body, static_argnames=("P",))
@@ -407,13 +469,15 @@ _partial_factor = jax.jit(_partial_factor_body, static_argnames=("P",))
 def _fwd_round(W, FP, L21, perm, cells_own, cells_bor):
     """Forward substitution for one round, batched over fronts.
 
-    W is (flat_len+1, nrhs) with a trailing dump row for padding."""
+    W is (flat_len+1, nrhs) with a trailing dump row for padding.
+    FP[:, :, :P] holds K (packed inverses): L11^-1 = I + stril(K)."""
     P = cells_own.shape[1]
-    L11 = FP[:, :, :P]
+    K = FP[:, :, :P]
     rhs = W[cells_own]                                  # (B, P, nrhs)
     rhs = jnp.take_along_axis(rhs, perm[:, :, None], axis=1)
-    y = triangular_solve(L11, rhs, left_side=True, lower=True,
-                         unit_diagonal=True)
+    y = rhs + jnp.matmul(jnp.tril(K, -1), rhs,
+                         preferred_element_type=rhs.dtype,
+                         precision=jax.lax.Precision.HIGHEST)
     W = W.at[cells_own.reshape(-1)].set(y.reshape(-1, y.shape[-1]), mode="drop")
     upd = jnp.matmul(L21, y, preferred_element_type=y.dtype,
                      precision=jax.lax.Precision.HIGHEST)
@@ -423,15 +487,16 @@ def _fwd_round(W, FP, L21, perm, cells_own, cells_bor):
 
 
 def _bwd_round(W, FP, cells_own, cells_bor):
+    """Backward substitution; U11^-1 = triu(K)."""
     P = cells_own.shape[1]
-    U11 = FP[:, :, :P]
+    K = FP[:, :, :P]
     U12 = FP[:, :, P:]
     rhs = W[cells_own]
     xb = W[cells_bor]
     rhs = rhs - jnp.matmul(U12, xb, preferred_element_type=rhs.dtype,
                            precision=jax.lax.Precision.HIGHEST)
-    x = triangular_solve(U11, rhs, left_side=True, lower=False,
-                         unit_diagonal=False)
+    x = jnp.matmul(jnp.triu(K), rhs, preferred_element_type=rhs.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
     W = W.at[cells_own.reshape(-1)].set(x.reshape(-1, x.shape[-1]), mode="drop")
     return W
 
@@ -460,7 +525,13 @@ class JaxMultifrontal:
         self.mesh_axis = mesh_axis or (mesh.axis_names[0] if mesh is not None
                                        else None)
         if precision is None:
-            precision = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+            # float64 factors only where they are native (CPU tests);
+            # on TPU the factorization stays float32 for the MXU and the
+            # accuracy gap is closed by device GMRES-IR (solver/refine.py)
+            on_cpu = jax.default_backend() == "cpu"
+            precision = (jnp.float64
+                         if (jax.config.jax_enable_x64 and on_cpu)
+                         else jnp.float32)
         self.prec = precision
         try:  # persistent cache: kernels recompile across processes.
             # Only set when the process hasn't chosen one — this is the one

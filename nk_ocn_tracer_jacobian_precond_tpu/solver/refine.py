@@ -1,0 +1,230 @@
+"""Device-resident mixed-precision refinement: batched GMRES-IR.
+
+The rebuild of SuperLU_DIST's iterative refinement (pdgsrfs*, reference
+SuperLU_brief_tree.txt:20-24), upgraded for a float32 factorization: the
+restricted-pivot LU suffers real element growth on these transport
+matrices (measured ~1e7 at gx3), so plain residual correction stalls in
+float32. GMRES-IR — float64 Krylov vectors, the float32 factorization as
+a right preconditioner — is the standard mixed-precision repair (GESP +
+refinement taken one step further) and converges to ~1e-12 relative
+residuals.
+
+Everything runs on the device: the float64 CSR SpMV, the float32
+multifrontal solve (as the preconditioner), the Gram-Schmidt
+orthogonalization, and the small least-squares solve. One restart cycle
+is ONE compiled XLA program — per-dispatch latency on a remote TPU link
+is ~50-100 ms, so scattering a Krylov iteration over many dispatches
+(as host-side scipy.gmres does, one RHS at a time) costs more in latency
+than in math. All right-hand sides iterate together, batched.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import dbg, timed
+
+
+def _small_spd_solve(G, t):
+    """Batched solve of tiny SPD systems G y = t (G (r, m, m), t (r, m))
+    by Gauss-Jordan without pivoting — XLA:TPU has no float64
+    LuDecomposition, and for the ridge-regularized Gram matrix of a
+    near-orthonormal Krylov basis pivoting is unnecessary."""
+    m = G.shape[-1]
+    A = jnp.concatenate([G, t[:, :, None]], axis=2)      # (r, m, m+1)
+
+    def body(k, A):
+        pivot_row = A[:, k, :] / A[:, k, k][:, None]
+        factor = A[:, :, k]
+        A = A - factor[:, :, None] * pivot_row[:, None, :]
+        return A.at[:, k, :].set(pivot_row)
+
+    A = jax.lax.fori_loop(0, m, body, A)
+    return A[:, :, m]
+
+
+class DeviceRefiner:
+    """Batched GMRES-IR on device, preconditioned by a JaxMultifrontal.
+
+    Requires jax_enable_x64 (the residual must be accumulated in float64;
+    TPU executes f64 via emulation — slow per flop but the SpMV is tiny
+    next to the factorization).
+    """
+
+    def __init__(self, engine, matrix, dr=None, dc=None,
+                 tol: float = 1e-12, m: int = 16, max_cycles: int = 10):
+        if not jax.config.jax_enable_x64:
+            raise RuntimeError("DeviceRefiner needs jax_enable_x64 "
+                               "(float64 residual accumulation)")
+        self.engine = engine
+        self.tol = tol
+        self.m = m
+        self.max_cycles = max_cycles
+        n = matrix.flat_len
+        self.n = n
+        put = engine._put
+        # ELL (padded row-major) storage: the SpMV becomes gather +
+        # multiply + row reduction — no scatter, which XLA:TPU serializes
+        rowptr = np.asarray(matrix.rowptr)
+        rowlen = np.diff(rowptr)
+        E = int(rowlen.max())
+        nnz = len(matrix.colind)
+        rows = np.repeat(np.arange(n, dtype=np.int64), rowlen)
+        pos = np.arange(nnz, dtype=np.int64) - rowptr[rows]
+        ell_col = np.full((n, E), n, dtype=np.int32)     # n -> zero pad row
+        ell_val = np.zeros((n, E), dtype=np.float64)
+        ell_col[rows, pos] = np.asarray(matrix.colind, dtype=np.int32)
+        ell_val[rows, pos] = np.asarray(matrix.nzval, dtype=np.float64)
+        self._ell_col = put(ell_col, None)
+        self._ell_val = put(ell_val, None)
+        one = np.ones(n)
+        self._dr = put(np.asarray(dr if dr is not None else one), None)
+        self._dc = put(np.asarray(dc if dc is not None else one), None)
+        self._cycle_jit = {}
+        self._ir_jit = {}
+
+    # -- building blocks (traced inside the cycle program) -----------------
+
+    def _spmv(self, x):
+        """y = A x in float64; x (n, nrhs)."""
+        xp = jnp.concatenate(
+            [x, jnp.zeros((1, x.shape[1]), dtype=x.dtype)], axis=0)
+        return jnp.sum(self._ell_val[:, :, None] * xp[self._ell_col], axis=1)
+
+    def _precond(self, v):
+        """M^-1 v: scale, float32 multifrontal solve, unscale."""
+        eng = self.engine
+        r32 = (self._dr[:, None] * v).astype(eng.prec)
+        W = jnp.concatenate(
+            [r32, jnp.zeros((1, r32.shape[1]), dtype=eng.prec)], axis=0)
+        W = eng._solve_program(W, eng.factors, eng._flatten_consts())
+        return self._dc[:, None] * W[:self.n].astype(jnp.float64)
+
+    def _make_ir(self, k: int):
+        """k plain refinement steps as ONE program (the pdgsrfs path):
+        r = b - A x in float64, x += M^-1 r. Sufficient whenever element
+        growth is mild; the GMRES cycle is the backstop when it stalls."""
+
+        def ir(x, b):
+            def body(_, carry):
+                x, _ = carry
+                r = b - self._spmv(x)
+                rnorm = jnp.linalg.norm(r, axis=0)
+                return x + self._precond(r), rnorm
+
+            x, _ = jax.lax.fori_loop(0, k, body,
+                                     (x, jnp.zeros(x.shape[1]).astype(x.dtype)))
+            rnorm = jnp.linalg.norm(b - self._spmv(x), axis=0)
+            return x, rnorm
+
+        return jax.jit(ir)
+
+    def _make_cycle(self, m: int, nrhs: int):
+        n = self.n
+
+        def cycle(x, b):
+            r = b - self._spmv(x)
+            beta = jnp.linalg.norm(r, axis=0)               # (nrhs,)
+            safe = jnp.where(beta > 0, beta, 1.0)
+            V = jnp.zeros((m + 1, n, nrhs), dtype=jnp.float64)
+            V = V.at[0].set(r / safe)
+            H = jnp.zeros((m + 1, m, nrhs), dtype=jnp.float64)
+
+            def body(j, carry):
+                V, H = carry
+                w = self._spmv(self._precond(V[j]))
+                mask = (jnp.arange(m + 1) <= j).astype(jnp.float64)
+                coef_tot = jnp.zeros((m + 1, nrhs), dtype=jnp.float64)
+                # classical Gram-Schmidt, two passes (re-orthogonalized —
+                # one-shot CGS is batched-matmul friendly but loses
+                # orthogonality exactly when the preconditioned operator
+                # is ill-conditioned, which is the whole use case here)
+                for _ in range(2):
+                    coef = jnp.einsum("inr,nr->ir", V, w) * mask[:, None]
+                    w = w - jnp.einsum("inr,ir->nr", V, coef)
+                    coef_tot = coef_tot + coef
+                hnorm = jnp.linalg.norm(w, axis=0)
+                hsafe = jnp.where(hnorm > 0, hnorm, 1.0)
+                H = H.at[:, j, :].add(coef_tot)
+                H = H.at[j + 1, j, :].set(hnorm)
+                V = V.at[j + 1].set(w / hsafe)
+                return V, H
+
+            V, H = jax.lax.fori_loop(0, m, body, (V, H))
+
+            # least squares min ||beta e1 - H y|| per RHS via normal
+            # equations (m is tiny; H columns are near-orthonormal scaled)
+            Hr = H.transpose(2, 0, 1)                       # (nrhs, m+1, m)
+            g = jnp.zeros((nrhs, m + 1, 1), dtype=jnp.float64)
+            g = g.at[:, 0, 0].set(beta)
+            G = jnp.einsum("rim,rik->rmk", Hr, Hr)
+            ridge = 1e-28 * jnp.trace(G, axis1=1, axis2=2)[:, None, None] \
+                / m + 1e-300
+            G = G + ridge * jnp.eye(m, dtype=jnp.float64)[None]
+            t = jnp.einsum("rim,rik->rmk", Hr, g)[:, :, 0]  # (nrhs, m)
+            y = _small_spd_solve(G, t)
+            u = jnp.einsum("inr,ri->nr", V[:m], y)
+            x_new = x + self._precond(u)
+            # report the TRUE residual, not the Arnoldi estimate: the
+            # estimate ignores the kappa(A)*eps attainable-accuracy floor
+            # of a single correction, and each restart polishes below it
+            # (this is what makes GMRES-IR converge like refinement)
+            rnorm = jnp.linalg.norm(b - self._spmv(x_new), axis=0)
+            return x_new, rnorm
+
+        return jax.jit(cycle)
+
+    # -- host driver --------------------------------------------------------
+
+    def solve(self, B: np.ndarray) -> np.ndarray:
+        """Solve A X = B to self.tol relative residual. B (n, nrhs) f64."""
+        B = np.asarray(B, dtype=np.float64)
+        single = B.ndim == 1
+        if single:
+            B = B[:, None]
+        nrhs = B.shape[1]
+        put = self.engine._put
+        b = put(B, None)
+        x = put(np.zeros_like(B), None)
+        bnorm = np.linalg.norm(B, axis=0)
+        bnorm[bnorm == 0] = 1.0
+        with timed("refine (device)"), \
+                jax.default_matmul_precision("highest"):
+            # phase 1: plain iterative refinement, 2 steps per dispatch.
+            # Converges for well-scaled factorizations; detect a stall
+            # (contraction worse than 10x per pass) and escalate.
+            if nrhs not in self._ir_jit:
+                self._ir_jit[nrhs] = self._make_ir(2)
+            prev = np.inf
+            for it in range(3):
+                x, rnorm = self._ir_jit[nrhs](x, b)
+                rel = float((np.asarray(rnorm) / bnorm).max())
+                dbg(1, f"refine ir pass {it}: max rel residual {rel:.3e}")
+                if rel <= self.tol:
+                    return self._finish(x, single)
+                if rel > 0.1 * prev:
+                    break
+                prev = rel
+            # phase 2: GMRES-IR cycles (element growth made plain
+            # refinement stall — the float32 factor is still an excellent
+            # Krylov preconditioner)
+            key = (self.m, nrhs)
+            if key not in self._cycle_jit:
+                self._cycle_jit[key] = self._make_cycle(self.m, nrhs)
+            cycle = self._cycle_jit[key]
+            for c in range(self.max_cycles):
+                x, rnorm = cycle(x, b)
+                rel = float((np.asarray(rnorm) / bnorm).max())
+                dbg(1, f"gmres-ir cycle {c}: max rel residual {rel:.3e}")
+                if rel <= self.tol:
+                    break
+        return self._finish(x, single)
+
+    def _finish(self, x, single):
+        X = np.asarray(x, dtype=np.float64)
+        return X[:, 0] if single else X
