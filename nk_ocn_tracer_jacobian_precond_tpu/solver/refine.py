@@ -90,36 +90,46 @@ class DeviceRefiner:
 
     # -- building blocks (traced inside the cycle program) -----------------
 
-    def _spmv(self, x):
+    def _env(self):
+        """Every large device array the programs touch, passed as jit
+        ARGUMENTS — closing over them would bake gigabytes of factors into
+        the compiled executable as constants."""
+        return dict(factors=self.engine.factors,
+                    consts=self.engine._flatten_consts(),
+                    ell_val=self._ell_val, ell_col=self._ell_col,
+                    dr=self._dr, dc=self._dc)
+
+    def _spmv(self, env, x):
         """y = A x in float64; x (n, nrhs)."""
         xp = jnp.concatenate(
             [x, jnp.zeros((1, x.shape[1]), dtype=x.dtype)], axis=0)
-        return jnp.sum(self._ell_val[:, :, None] * xp[self._ell_col], axis=1)
+        return jnp.sum(env["ell_val"][:, :, None] * xp[env["ell_col"]],
+                       axis=1)
 
-    def _precond(self, v):
+    def _precond(self, env, v):
         """M^-1 v: scale, float32 multifrontal solve, unscale."""
         eng = self.engine
-        r32 = (self._dr[:, None] * v).astype(eng.prec)
+        r32 = (env["dr"][:, None] * v).astype(eng.prec)
         W = jnp.concatenate(
             [r32, jnp.zeros((1, r32.shape[1]), dtype=eng.prec)], axis=0)
-        W = eng._solve_program(W, eng.factors, eng._flatten_consts())
-        return self._dc[:, None] * W[:self.n].astype(jnp.float64)
+        W = eng._solve_program(W, env["factors"], env["consts"])
+        return env["dc"][:, None] * W[:self.n].astype(jnp.float64)
 
     def _make_ir(self, k: int):
         """k plain refinement steps as ONE program (the pdgsrfs path):
         r = b - A x in float64, x += M^-1 r. Sufficient whenever element
         growth is mild; the GMRES cycle is the backstop when it stalls."""
 
-        def ir(x, b):
+        def ir(x, b, env):
             def body(_, carry):
                 x, _ = carry
-                r = b - self._spmv(x)
+                r = b - self._spmv(env, x)
                 rnorm = jnp.linalg.norm(r, axis=0)
-                return x + self._precond(r), rnorm
+                return x + self._precond(env, r), rnorm
 
             x, _ = jax.lax.fori_loop(0, k, body,
                                      (x, jnp.zeros(x.shape[1]).astype(x.dtype)))
-            rnorm = jnp.linalg.norm(b - self._spmv(x), axis=0)
+            rnorm = jnp.linalg.norm(b - self._spmv(env, x), axis=0)
             return x, rnorm
 
         return jax.jit(ir)
@@ -127,8 +137,8 @@ class DeviceRefiner:
     def _make_cycle(self, m: int, nrhs: int):
         n = self.n
 
-        def cycle(x, b):
-            r = b - self._spmv(x)
+        def cycle(x, b, env):
+            r = b - self._spmv(env, x)
             beta = jnp.linalg.norm(r, axis=0)               # (nrhs,)
             safe = jnp.where(beta > 0, beta, 1.0)
             V = jnp.zeros((m + 1, n, nrhs), dtype=jnp.float64)
@@ -137,7 +147,7 @@ class DeviceRefiner:
 
             def body(j, carry):
                 V, H = carry
-                w = self._spmv(self._precond(V[j]))
+                w = self._spmv(env, self._precond(env, V[j]))
                 mask = (jnp.arange(m + 1) <= j).astype(jnp.float64)
                 coef_tot = jnp.zeros((m + 1, nrhs), dtype=jnp.float64)
                 # classical Gram-Schmidt, two passes (re-orthogonalized —
@@ -169,12 +179,12 @@ class DeviceRefiner:
             t = jnp.einsum("rim,rik->rmk", Hr, g)[:, :, 0]  # (nrhs, m)
             y = _small_spd_solve(G, t)
             u = jnp.einsum("inr,ri->nr", V[:m], y)
-            x_new = x + self._precond(u)
+            x_new = x + self._precond(env, u)
             # report the TRUE residual, not the Arnoldi estimate: the
             # estimate ignores the kappa(A)*eps attainable-accuracy floor
             # of a single correction, and each restart polishes below it
             # (this is what makes GMRES-IR converge like refinement)
-            rnorm = jnp.linalg.norm(b - self._spmv(x_new), axis=0)
+            rnorm = jnp.linalg.norm(b - self._spmv(env, x_new), axis=0)
             return x_new, rnorm
 
         return jax.jit(cycle)
@@ -200,9 +210,10 @@ class DeviceRefiner:
             # (contraction worse than 10x per pass) and escalate.
             if nrhs not in self._ir_jit:
                 self._ir_jit[nrhs] = self._make_ir(2)
+            env = self._env()
             prev = np.inf
             for it in range(3):
-                x, rnorm = self._ir_jit[nrhs](x, b)
+                x, rnorm = self._ir_jit[nrhs](x, b, env)
                 rel = float((np.asarray(rnorm) / bnorm).max())
                 dbg(1, f"refine ir pass {it}: max rel residual {rel:.3e}")
                 if rel <= self.tol:
@@ -218,7 +229,7 @@ class DeviceRefiner:
                 self._cycle_jit[key] = self._make_cycle(self.m, nrhs)
             cycle = self._cycle_jit[key]
             for c in range(self.max_cycles):
-                x, rnorm = cycle(x, b)
+                x, rnorm = cycle(x, b, env)
                 rel = float((np.asarray(rnorm) / bnorm).max())
                 dbg(1, f"gmres-ir cycle {c}: max rel residual {rel:.3e}")
                 if rel <= self.tol:
