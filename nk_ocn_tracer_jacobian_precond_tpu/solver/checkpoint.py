@@ -66,3 +66,55 @@ def load_symbolic(path: str) -> SymbolicFactorization:
     return SymbolicFactorization(
         fronts=fronts, rounds=rounds, perm=z["perm"], iperm=z["iperm"],
         flat_len=int(z["flat_len"][0]))
+
+
+def save_factors(path: str, fac) -> None:
+    """Persist NUMERIC factors (a genuine improvement over the reference,
+    which re-factors on every solver run, SURVEY.md §5): a Newton outer
+    loop can restart and go straight to triangular solves.
+
+    ``fac`` is a MultifrontalFactorization with the JAX engine; the file
+    holds every round's (FP, L21, perm) stack plus the equilibration
+    scalings. The symbolic plan is NOT stored — it is rebuilt from the
+    matrix pattern (deterministic, seconds) or loaded via save_symbolic.
+    """
+    eng = fac.engine
+    arrays = {"n_rounds": np.array([len(eng.factors)]),
+              "flat_len": np.array([eng.flat_len])}
+    if fac.dr is not None:
+        arrays["dr"] = fac.dr
+        arrays["dc"] = fac.dc
+    for i, (FP, L21, perm) in enumerate(eng.factors):
+        arrays[f"r{i}_FP"] = np.asarray(FP)
+        arrays[f"r{i}_L21"] = np.asarray(L21)
+        arrays[f"r{i}_perm"] = np.asarray(perm)
+    np.savez(path, **arrays)
+
+
+def load_factors(path: str, fac) -> None:
+    """Load numeric factors saved by save_factors into ``fac`` (which must
+    have been constructed with the same matrix pattern and options —
+    shapes are validated), replacing its freshly computed factors."""
+    import jax.numpy as jnp
+
+    eng = fac.engine
+    z = np.load(path)
+    n_rounds = int(z["n_rounds"][0])
+    if n_rounds != len(eng.plans):
+        raise ValueError(f"checkpoint has {n_rounds} rounds, plan has "
+                         f"{len(eng.plans)} — pattern mismatch")
+    if int(z["flat_len"][0]) != eng.flat_len:
+        raise ValueError("checkpoint flat_len mismatch")
+    factors = []
+    for i, plan in enumerate(eng.plans):
+        FP = z[f"r{i}_FP"]
+        if FP.shape != (plan.B, plan.P, plan.N):
+            raise ValueError(f"round {i}: factor shape {FP.shape} != "
+                             f"{(plan.B, plan.P, plan.N)}")
+        factors.append((eng._put(FP.astype(eng.prec), plan.B),
+                        eng._put(z[f"r{i}_L21"].astype(eng.prec), plan.B),
+                        eng._put(z[f"r{i}_perm"], plan.B)))
+    eng.factors = tuple(factors)
+    if "dr" in z.files:
+        fac.dr, fac.dc = z["dr"], z["dc"]
+    fac._refiner = None     # rebind the refiner to the loaded factors

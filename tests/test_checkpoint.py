@@ -47,3 +47,61 @@ def test_symbolic_checkpoint_roundtrip(tmp_path):
     x2 = MultifrontalFactorization(matrix, impl="numpy", maps=maps,
                                    sym=sym2).solve(b)
     np.testing.assert_array_equal(x1, x2)
+
+
+def test_factor_checkpoint_roundtrip(tmp_path):
+    """Numeric factor save/load: a restarted process skips factorization
+    and solves identically (improvement over the reference, which
+    re-factors every run — SURVEY.md §5 checkpoint/resume)."""
+    import numpy as np
+    from nk_ocn_tracer_jacobian_precond_tpu.drivers.gen_a import run_gen_a
+    from nk_ocn_tracer_jacobian_precond_tpu.grid.indmap import load_ind_maps
+    from nk_ocn_tracer_jacobian_precond_tpu.io.matrixfile import read_matrix_file
+    from nk_ocn_tracer_jacobian_precond_tpu.ops import (
+        AssemblyOptions, PerTracerOptions)
+    from nk_ocn_tracer_jacobian_precond_tpu.solver.checkpoint import (
+        load_factors, save_factors)
+    from nk_ocn_tracer_jacobian_precond_tpu.solver.mf import (
+        MultifrontalFactorization)
+    from nk_ocn_tracer_jacobian_precond_tpu.testdata import make_circ_file
+
+    d = tmp_path
+    circ = str(d / "circ.nc")
+    make_circ_file(circ, imt=16, jmt=12, km=5, seed=2)
+    mat = str(d / "matrix.nc")
+    opts = AssemblyOptions(circ_fname=circ, hmix_type="const",
+                           vmix_type="file",
+                           per_tracer=[PerTracerOptions(sink_type="const",
+                                                        sink_rate=1e-4)])
+    run_gen_a(mat, opts=opts)
+    matrix = read_matrix_file(mat)
+    maps = load_ind_maps(mat)
+
+    fac1 = MultifrontalFactorization(matrix, impl="jax", maps=maps)
+    ckpt = str(d / "factors.npz")
+    save_factors(ckpt, fac1)
+
+    rng = np.random.default_rng(1)
+    B = rng.standard_normal((matrix.flat_len, 2))
+    X1 = fac1.solve(B)
+
+    # fresh factorization object, factors replaced from the checkpoint
+    fac2 = MultifrontalFactorization(matrix, impl="jax", maps=maps,
+                                     sym=fac1.sym)
+    load_factors(ckpt, fac2)
+    X2 = fac2.solve(B)
+    np.testing.assert_allclose(X2, X1, rtol=1e-12, atol=1e-14)
+
+    # shape validation fails loudly on a different pattern
+    import pytest
+    circ2 = str(d / "circ2.nc")
+    make_circ_file(circ2, imt=20, jmt=16, km=6, seed=3)
+    mat2 = str(d / "matrix2.nc")
+    run_gen_a(mat2, opts=AssemblyOptions(
+        circ_fname=circ2, hmix_type="const", vmix_type="file",
+        per_tracer=[PerTracerOptions(sink_type="const", sink_rate=1e-4)]))
+    matrix2 = read_matrix_file(mat2)
+    fac3 = MultifrontalFactorization(matrix2, impl="jax",
+                                     maps=load_ind_maps(mat2))
+    with pytest.raises(ValueError):
+        load_factors(ckpt, fac3)
