@@ -133,7 +133,8 @@ class MultifrontalFactorization:
             from .refine import DeviceRefiner
             self._refiner = DeviceRefiner(
                 self.engine, self.matrix, dr=self.dr, dc=self.dc,
-                tol=max(self.refine_tol, 1e-13))
+                tol=max(self.refine_tol, 1e-13),
+                precond_host=self._precond_solve)
         return self._refiner
 
     def solve(self, b: np.ndarray, refine: bool = True) -> np.ndarray:

@@ -389,21 +389,70 @@ def _block_tri_inv(T, lower: bool, unit_diagonal: bool):
     return jnp.concatenate(rows, axis=1)
 
 
+def _finish_factor(F, lu, perm, P: int):
+    """Shared tail of the partial factorization once the pivot block's
+    packed LU and row permutation are known: invert the triangles (GEMM
+    blocks), form U12/L21 by GEMM, Schur-update the border.
+
+    The factors are stored as FULL (unmasked) inverse triangles:
+      FA = [ L11^-1 | U12 ]   (B, P, N)
+      FB = [ U11^-1 ; L21 ]   (B, N, P)
+    Storing both triangles separately costs one extra P^2 block per front
+    but makes every per-RHS solve round a single GEMM per block — a
+    tril/triu mask would materialize the whole factor stack as temporaries
+    on every preconditioner application (gigabytes of HBM traffic per
+    Krylov iteration)."""
+    N = F.shape[-1]
+    Linv = _block_tri_inv(lu, lower=True, unit_diagonal=True)
+    Uinv = _block_tri_inv(lu, lower=False, unit_diagonal=False)
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    bord = N - P
+    if bord > 0:
+        F12p = jnp.take_along_axis(F[:, :P, P:], perm[:, :, None], axis=1)
+        U12 = mm(Linv, F12p)
+        L21 = mm(F[:, P:, :P], Uinv)
+        S = F[:, P:, P:] - mm(L21, U12)
+    else:
+        U12 = jnp.zeros((F.shape[0], P, 0), dtype=F.dtype)
+        L21 = jnp.zeros((F.shape[0], 0, P), dtype=F.dtype)
+        S = jnp.zeros((F.shape[0], 0, 0), dtype=F.dtype)
+    FA = jnp.concatenate([Linv, U12], axis=2)
+    FB = jnp.concatenate([Uinv, L21], axis=1)
+    return FA, FB, S, perm
+
+
+def _partial_factor_small_batch(F, P: int):
+    """Root-of-tree rounds (tiny batch, large pivot block): XLA's native
+    batched LU is ~7x faster there than the hand-blocked panel loop (which
+    is latency-bound in its sequential column steps), while at large batch
+    the native LU is serial per matrix and catastrophically slow — hence
+    the B<=2 gate in _partial_factor_body.
+
+    Unrestricted partial pivoting within F11 is exactly the multifrontal
+    restriction: border rows are outside the block, and the identity
+    padding forms a decoupled diagonal block that pivoting provably never
+    mixes with real rows (padding rows are zero in real columns)."""
+    lu, piv, perm = jax.lax.linalg.lu(F[:, :P, :P])
+    return _finish_factor(F, lu, perm.astype(jnp.int32), P)
+
+
 def _partial_factor_body(F, P: int, p_arr):
     """Blocked LU with restricted partial pivoting of F[:, :P, :P]; TRSM of
     the off-blocks; Schur update.
 
-    Returns (FP, L21, S, perm): FP = F[:, :P, :] holds P_r A = L\\U in the
-    [:, :, :P] square and U12 in [:, :, P:]; L21 = F[:, P:, :P] (border rows
-    are never permuted); S = F22 - L21 @ U12; perm (B, P) maps solve
-    positions to original eliminated-row order. Only these blocks are
-    returned — the factored border x border quadrant is dead weight for the
-    solve (at gx3 scale it was 4.6 GB of the round-1 OOM) and the input
-    buffer is donated, so the full (B, N, N) front exists only transiently
-    inside this program.
+    Returns (FA, FB, S, perm): FA = [L11^-1 | U12] (B, P, N),
+    FB = [U11^-1 ; L21] (B, N, P) — see _finish_factor for the layout
+    rationale; S = F22 - L21 @ U12; perm (B, P) maps solve positions to
+    original eliminated-row order (border rows are never permuted). Only
+    these blocks survive — the factored border x border quadrant is dead
+    weight for the solve (at gx3 scale it was 4.6 GB of the round-1 OOM)
+    and the full (B, N, N) front exists only transiently inside this
+    program.
     """
     N = F.shape[-1]
     B = F.shape[0]
+    if B <= 2:
+        return _partial_factor_small_batch(F, P)
     perm_total = jnp.tile(jnp.arange(P, dtype=jnp.int32)[None, :], (B, 1))
     nb = (P + PANEL - 1) // PANEL
     for t in range(nb):
@@ -450,52 +499,50 @@ def _partial_factor_body(F, P: int, p_arr):
                                    precision=jax.lax.Precision.HIGHEST)
             F = jax.lax.dynamic_update_slice(F, A22, (0, off + T, off + T))
     S = F[:, P:, P:]
-    # replace the packed L11\U11 block with its packed inverses
-    # K = stril(L11^-1) + triu(U11^-1): the triangular solves of the
-    # per-RHS solve path become pure MXU GEMMs (XLA:TPU's triangular_solve
-    # is serial in the panel count — a latency disaster when the solve is
-    # reapplied dozens of times as a Krylov preconditioner)
+    # invert the pivot block's triangles (blocked GEMM inversion): the
+    # triangular solves of the per-RHS solve path become pure MXU GEMMs
+    # (XLA:TPU's triangular_solve is serial in the panel count — a latency
+    # disaster when the solve is reapplied dozens of times as a Krylov
+    # preconditioner); U12/L21 were already TRSM'd in place by the panel
+    # loop. Layout matches _finish_factor.
     LU11 = F[:, :P, :P]
     Linv = _block_tri_inv(LU11, lower=True, unit_diagonal=True)
     Uinv = _block_tri_inv(LU11, lower=False, unit_diagonal=False)
-    K = jnp.tril(Linv, -1) + jnp.triu(Uinv)
-    FP = jnp.concatenate([K, F[:, :P, P:]], axis=2)
-    return FP, F[:, P:, :P], S, perm_total
+    FA = jnp.concatenate([Linv, F[:, :P, P:]], axis=2)
+    FB = jnp.concatenate([Uinv, F[:, P:, :P]], axis=1)
+    return FA, FB, S, perm_total
 
 
 _partial_factor = jax.jit(_partial_factor_body, static_argnames=("P",))
 
 
-def _fwd_round(W, FP, L21, perm, cells_own, cells_bor):
-    """Forward substitution for one round, batched over fronts.
+def _fwd_round(W, FA, FB, perm, cells_own, cells_bor):
+    """Forward substitution for one round, batched over fronts: pure GEMMs
+    against the stored inverse triangles (FA = [L11^-1 | U12],
+    FB = [U11^-1 ; L21]).
 
-    W is (flat_len+1, nrhs) with a trailing dump row for padding.
-    FP[:, :, :P] holds K (packed inverses): L11^-1 = I + stril(K)."""
+    W is (flat_len+1, nrhs) with a trailing dump row for padding."""
     P = cells_own.shape[1]
-    K = FP[:, :, :P]
     rhs = W[cells_own]                                  # (B, P, nrhs)
     rhs = jnp.take_along_axis(rhs, perm[:, :, None], axis=1)
-    y = rhs + jnp.matmul(jnp.tril(K, -1), rhs,
-                         preferred_element_type=rhs.dtype,
-                         precision=jax.lax.Precision.HIGHEST)
+    y = jnp.matmul(FA[:, :, :P], rhs, preferred_element_type=rhs.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
     W = W.at[cells_own.reshape(-1)].set(y.reshape(-1, y.shape[-1]), mode="drop")
-    upd = jnp.matmul(L21, y, preferred_element_type=y.dtype,
+    upd = jnp.matmul(FB[:, P:, :], y, preferred_element_type=y.dtype,
                      precision=jax.lax.Precision.HIGHEST)
     W = W.at[cells_bor.reshape(-1)].add(-upd.reshape(-1, y.shape[-1]),
                                         mode="drop")
     return W
 
 
-def _bwd_round(W, FP, cells_own, cells_bor):
-    """Backward substitution; U11^-1 = triu(K)."""
+def _bwd_round(W, FA, FB, cells_own, cells_bor):
+    """Backward substitution: x = U11^-1 (rhs - U12 xb)."""
     P = cells_own.shape[1]
-    K = FP[:, :, :P]
-    U12 = FP[:, :, P:]
     rhs = W[cells_own]
     xb = W[cells_bor]
-    rhs = rhs - jnp.matmul(U12, xb, preferred_element_type=rhs.dtype,
+    rhs = rhs - jnp.matmul(FA[:, :, P:], xb, preferred_element_type=rhs.dtype,
                            precision=jax.lax.Precision.HIGHEST)
-    x = jnp.matmul(jnp.triu(K), rhs, preferred_element_type=rhs.dtype,
+    x = jnp.matmul(FB[:, :P, :], rhs, preferred_element_type=rhs.dtype,
                    precision=jax.lax.Precision.HIGHEST)
     W = W.at[cells_own.reshape(-1)].set(x.reshape(-1, x.shape[-1]), mode="drop")
     return W
@@ -625,9 +672,9 @@ class JaxMultifrontal:
                     uses[src_rnd] -= 1
                     if uses[src_rnd] == 0:
                         schur[src_rnd] = None
-                FP, L21, S, perm = _partial_factor(F, P=plan.P,
-                                                   p_arr=cc["p_arr"])
-                factors.append((FP, L21, perm))
+                FA, FB, S, perm = _partial_factor(F, P=plan.P,
+                                                  p_arr=cc["p_arr"])
+                factors.append((FA, FB, perm))
                 schur[rnd] = S
             self.factors = tuple(factors)
             jax.block_until_ready(self.factors)
@@ -641,12 +688,12 @@ class JaxMultifrontal:
     def _solve_program(self, W, factors, flat_consts):
         consts = self._unflatten_consts(flat_consts)
         for rnd in range(len(self.plans)):
-            FP, L21, perm = factors[rnd]
-            W = _fwd_round(W, FP, L21, perm,
+            FA, FB, perm = factors[rnd]
+            W = _fwd_round(W, FA, FB, perm,
                            consts[rnd]["own"], consts[rnd]["bor"])
         for rnd in range(len(self.plans) - 1, -1, -1):
-            FP, L21, perm = factors[rnd]
-            W = _bwd_round(W, FP, consts[rnd]["own"], consts[rnd]["bor"])
+            FA, FB, perm = factors[rnd]
+            W = _bwd_round(W, FA, FB, consts[rnd]["own"], consts[rnd]["bor"])
         return W
 
     def solve(self, b: np.ndarray) -> np.ndarray:

@@ -49,19 +49,33 @@ def _small_spd_solve(G, t):
 
 
 class DeviceRefiner:
-    """Batched GMRES-IR on device, preconditioned by a JaxMultifrontal.
+    """GMRES-IR3 driven from the host, with the whole inner Krylov
+    correction batched on device.
 
-    Requires jax_enable_x64 (the residual must be accumulated in float64;
-    TPU executes f64 via emulation — slow per flop but the SpMV is tiny
-    next to the factorization).
+    Structure (the standard three-precision refinement):
+      * OUTER loop (host, exact float64): r = b - A x via scipy SpMV
+        (13 ms at gx3 — exactness is what matters, the device's emulated
+        f64 left a ~1e-10 attainable-residual floor and cycle-to-cycle
+        bounce when the outer residual lived on device);
+      * INNER correction (device, ONE dispatch): batched restarted GMRES
+        solving A d = r a few digits, float64 Krylov vectors, float32
+        multifrontal preconditioner.
+    Plain refinement (inner = one preconditioner apply) is tried first —
+    it is the reference's pdgsrfs — and GMRES kicks in when element
+    growth stalls it.
+
+    Requires jax_enable_x64 for the device-side float64 Krylov vectors.
     """
 
     def __init__(self, engine, matrix, dr=None, dc=None,
-                 tol: float = 1e-12, m: int = 16, max_cycles: int = 10):
+                 tol: float = 1e-12, m: int = 16, max_cycles: int = 10,
+                 precond_host=None):
         if not jax.config.jax_enable_x64:
             raise RuntimeError("DeviceRefiner needs jax_enable_x64 "
                                "(float64 residual accumulation)")
         self.engine = engine
+        self.A = matrix.to_scipy()
+        self.precond_host = precond_host
         self.tol = tol
         self.m = m
         self.max_cycles = max_cycles
@@ -76,17 +90,22 @@ class DeviceRefiner:
         nnz = len(matrix.colind)
         rows = np.repeat(np.arange(n, dtype=np.int64), rowlen)
         pos = np.arange(nnz, dtype=np.int64) - rowptr[rows]
+        # the INNER correction solver runs wholly in float32 (IR3: only
+        # the outer residual needs high precision, and it lives on the
+        # host; float64 on TPU is ~48-bit two-float emulation and made the
+        # Krylov cycle 4x slower for zero accuracy benefit)
         ell_col = np.full((n, E), n, dtype=np.int32)     # n -> zero pad row
-        ell_val = np.zeros((n, E), dtype=np.float64)
+        ell_val = np.zeros((n, E), dtype=np.float32)
         ell_col[rows, pos] = np.asarray(matrix.colind, dtype=np.int32)
-        ell_val[rows, pos] = np.asarray(matrix.nzval, dtype=np.float64)
+        ell_val[rows, pos] = np.asarray(matrix.nzval, dtype=np.float32)
         self._ell_col = put(ell_col, None)
         self._ell_val = put(ell_val, None)
         one = np.ones(n)
-        self._dr = put(np.asarray(dr if dr is not None else one), None)
-        self._dc = put(np.asarray(dc if dc is not None else one), None)
+        self._dr = put(np.asarray(dr if dr is not None else one,
+                                  dtype=np.float32), None)
+        self._dc = put(np.asarray(dc if dc is not None else one,
+                                  dtype=np.float32), None)
         self._cycle_jit = {}
-        self._ir_jit = {}
 
     # -- building blocks (traced inside the cycle program) -----------------
 
@@ -100,56 +119,38 @@ class DeviceRefiner:
                     dr=self._dr, dc=self._dc)
 
     def _spmv(self, env, x):
-        """y = A x in float64; x (n, nrhs)."""
+        """y = A x in float32; x (n, nrhs)."""
         xp = jnp.concatenate(
             [x, jnp.zeros((1, x.shape[1]), dtype=x.dtype)], axis=0)
         return jnp.sum(env["ell_val"][:, :, None] * xp[env["ell_col"]],
                        axis=1)
 
     def _precond(self, env, v):
-        """M^-1 v: scale, float32 multifrontal solve, unscale."""
+        """M^-1 v: scale, multifrontal solve, unscale (all f32)."""
         eng = self.engine
         r32 = (env["dr"][:, None] * v).astype(eng.prec)
         W = jnp.concatenate(
             [r32, jnp.zeros((1, r32.shape[1]), dtype=eng.prec)], axis=0)
         W = eng._solve_program(W, env["factors"], env["consts"])
-        return env["dc"][:, None] * W[:self.n].astype(jnp.float64)
-
-    def _make_ir(self, k: int):
-        """k plain refinement steps as ONE program (the pdgsrfs path):
-        r = b - A x in float64, x += M^-1 r. Sufficient whenever element
-        growth is mild; the GMRES cycle is the backstop when it stalls."""
-
-        def ir(x, b, env):
-            def body(_, carry):
-                x, _ = carry
-                r = b - self._spmv(env, x)
-                rnorm = jnp.linalg.norm(r, axis=0)
-                return x + self._precond(env, r), rnorm
-
-            x, _ = jax.lax.fori_loop(0, k, body,
-                                     (x, jnp.zeros(x.shape[1]).astype(x.dtype)))
-            rnorm = jnp.linalg.norm(b - self._spmv(env, x), axis=0)
-            return x, rnorm
-
-        return jax.jit(ir)
+        return (env["dc"][:, None] * W[:self.n]).astype(jnp.float32)
 
     def _make_cycle(self, m: int, nrhs: int):
         n = self.n
 
-        def cycle(x, b, env):
-            r = b - self._spmv(env, x)
-            beta = jnp.linalg.norm(r, axis=0)               # (nrhs,)
+        def cycle(b, env):
+            """One restarted-GMRES correction: solve A d ~= b from zero,
+            return d. The caller owns the outer residual (host, exact)."""
+            beta = jnp.linalg.norm(b, axis=0)               # (nrhs,)
             safe = jnp.where(beta > 0, beta, 1.0)
-            V = jnp.zeros((m + 1, n, nrhs), dtype=jnp.float64)
-            V = V.at[0].set(r / safe)
-            H = jnp.zeros((m + 1, m, nrhs), dtype=jnp.float64)
+            V = jnp.zeros((m + 1, n, nrhs), dtype=jnp.float32)
+            V = V.at[0].set(b / safe)
+            H = jnp.zeros((m + 1, m, nrhs), dtype=jnp.float32)
 
             def body(j, carry):
                 V, H = carry
                 w = self._spmv(env, self._precond(env, V[j]))
-                mask = (jnp.arange(m + 1) <= j).astype(jnp.float64)
-                coef_tot = jnp.zeros((m + 1, nrhs), dtype=jnp.float64)
+                mask = (jnp.arange(m + 1) <= j).astype(jnp.float32)
+                coef_tot = jnp.zeros((m + 1, nrhs), dtype=jnp.float32)
                 # classical Gram-Schmidt, two passes (re-orthogonalized —
                 # one-shot CGS is batched-matmul friendly but loses
                 # orthogonality exactly when the preconditioned operator
@@ -170,22 +171,16 @@ class DeviceRefiner:
             # least squares min ||beta e1 - H y|| per RHS via normal
             # equations (m is tiny; H columns are near-orthonormal scaled)
             Hr = H.transpose(2, 0, 1)                       # (nrhs, m+1, m)
-            g = jnp.zeros((nrhs, m + 1, 1), dtype=jnp.float64)
+            g = jnp.zeros((nrhs, m + 1, 1), dtype=jnp.float32)
             g = g.at[:, 0, 0].set(beta)
             G = jnp.einsum("rim,rik->rmk", Hr, Hr)
-            ridge = 1e-28 * jnp.trace(G, axis1=1, axis2=2)[:, None, None] \
-                / m + 1e-300
-            G = G + ridge * jnp.eye(m, dtype=jnp.float64)[None]
+            ridge = 1e-12 * jnp.trace(G, axis1=1, axis2=2)[:, None, None] \
+                / m + 1e-30
+            G = G + ridge * jnp.eye(m, dtype=jnp.float32)[None]
             t = jnp.einsum("rim,rik->rmk", Hr, g)[:, :, 0]  # (nrhs, m)
             y = _small_spd_solve(G, t)
             u = jnp.einsum("inr,ri->nr", V[:m], y)
-            x_new = x + self._precond(env, u)
-            # report the TRUE residual, not the Arnoldi estimate: the
-            # estimate ignores the kappa(A)*eps attainable-accuracy floor
-            # of a single correction, and each restart polishes below it
-            # (this is what makes GMRES-IR converge like refinement)
-            rnorm = jnp.linalg.norm(b - self._spmv(env, x_new), axis=0)
-            return x_new, rnorm
+            return self._precond(env, u)
 
         return jax.jit(cycle)
 
@@ -198,44 +193,54 @@ class DeviceRefiner:
         if single:
             B = B[:, None]
         nrhs = B.shape[1]
-        put = self.engine._put
-        b = put(B, None)
-        x = put(np.zeros_like(B), None)
+        # pad the RHS batch to a lane-friendly width: XLA:TPU's codegen
+        # for trailing dim 2 degraded the float32 solve path so badly the
+        # Krylov iteration stalled outright (measured at gx3); width >= 4
+        # behaves
+        padn = max(4, nrhs)
+        Bp = np.zeros((self.n, padn))
+        Bp[:, :nrhs] = B
+        X = np.zeros_like(Bp)
         bnorm = np.linalg.norm(B, axis=0)
         bnorm[bnorm == 0] = 1.0
-        with timed("refine (device)"), \
+        put = self.engine._put
+        env = None
+        # phase memo: once a factorization is known to need Krylov
+        # corrections, later solves (same factors, new RHS — the Newton
+        # loop) skip the doomed plain-IR attempts
+        phase = getattr(self, "_phase", "ir")
+        applied_ir = False
+        prev = np.inf
+        with timed("refine (gmres-ir3)"), \
                 jax.default_matmul_precision("highest"):
-            # phase 1: plain iterative refinement, 2 steps per dispatch.
-            # Converges for well-scaled factorizations; detect a stall
-            # (contraction worse than 10x per pass) and escalate.
-            if nrhs not in self._ir_jit:
-                self._ir_jit[nrhs] = self._make_ir(2)
-            env = self._env()
-            prev = np.inf
-            for it in range(3):
-                x, rnorm = self._ir_jit[nrhs](x, b, env)
-                rel = float((np.asarray(rnorm) / bnorm).max())
-                dbg(1, f"refine ir pass {it}: max rel residual {rel:.3e}")
+            for outer in range(self.max_cycles + 4):
+                # OUTER residual on host: exact float64, no emulated-f64
+                # attainable-accuracy floor
+                R = Bp - self.A @ X
+                rel = float((np.linalg.norm(R[:, :nrhs], axis=0)
+                             / bnorm).max())
+                dbg(1, f"refine outer {outer} ({phase}): max rel residual "
+                       f"{rel:.3e}")
                 if rel <= self.tol:
-                    return self._finish(x, single)
-                if rel > 0.1 * prev:
                     break
+                if phase == "ir" and (self.precond_host is None or
+                                      (applied_ir and rel > 0.1 * prev)):
+                    # plain refinement stalled (element growth x float32):
+                    # escalate to Krylov corrections
+                    phase = "gmres"
+                    self._phase = "gmres"
                 prev = rel
-            # phase 2: GMRES-IR cycles (element growth made plain
-            # refinement stall — the float32 factor is still an excellent
-            # Krylov preconditioner)
-            key = (self.m, nrhs)
-            if key not in self._cycle_jit:
-                self._cycle_jit[key] = self._make_cycle(self.m, nrhs)
-            cycle = self._cycle_jit[key]
-            for c in range(self.max_cycles):
-                x, rnorm = cycle(x, b, env)
-                rel = float((np.asarray(rnorm) / bnorm).max())
-                dbg(1, f"gmres-ir cycle {c}: max rel residual {rel:.3e}")
-                if rel <= self.tol:
-                    break
-        return self._finish(x, single)
-
-    def _finish(self, x, single):
-        X = np.asarray(x, dtype=np.float64)
+                if phase == "ir":
+                    X = X + self.precond_host(R)
+                    applied_ir = True
+                else:
+                    key = (self.m, padn)
+                    if key not in self._cycle_jit:
+                        self._cycle_jit[key] = self._make_cycle(self.m, padn)
+                    if env is None:
+                        env = self._env()
+                    d = self._cycle_jit[key](
+                        put(R.astype(np.float32), None), env)
+                    X = X + np.asarray(d, dtype=np.float64)
+        X = X[:, :nrhs]
         return X[:, 0] if single else X
