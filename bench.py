@@ -122,6 +122,9 @@ def main():
     p.add_argument("--tol", type=float, default=1e-11)
     p.add_argument("--impl", default="jax", choices=["jax", "numpy"])
     p.add_argument("--cache", default=os.path.join(REPO, ".bench_cache"))
+    p.add_argument("--reuse-baseline", action="store_true",
+                   help="reuse a previously measured scipy baseline for "
+                        "this size (exploration; default measures fresh)")
     args = p.parse_args()
 
     matrix, maps = build_problem(args.size, args.cache)
@@ -130,9 +133,18 @@ def main():
     print(f"# problem {args.size}: flat_len={matrix.flat_len} "
           f"nnz={matrix.nnz}", file=sys.stderr)
 
-    s_factor, s_solve, s_res = bench_scipy(matrix, B, args.tol)
-    print(f"# scipy SuperLU: factor {s_factor:.2f}s solve {s_solve:.3f}s "
-          f"residual {s_res:.2e}", file=sys.stderr)
+    base_cache = os.path.join(args.cache, f"baseline_{args.size}.json")
+    if args.reuse_baseline and os.path.exists(base_cache):
+        with open(base_cache) as f:
+            s_factor, s_solve, s_res = json.load(f)
+        print(f"# scipy SuperLU (cached measurement): factor {s_factor:.2f}s "
+              f"solve {s_solve:.3f}s residual {s_res:.2e}", file=sys.stderr)
+    else:
+        s_factor, s_solve, s_res = bench_scipy(matrix, B, args.tol)
+        print(f"# scipy SuperLU: factor {s_factor:.2f}s solve {s_solve:.3f}s "
+              f"residual {s_res:.2e}", file=sys.stderr)
+        with open(base_cache, "w") as f:
+            json.dump([s_factor, s_solve, s_res], f)
     m = bench_mf(matrix, maps, B, args.tol, args.impl)
 
     ok = m["res"] <= 1e-10
