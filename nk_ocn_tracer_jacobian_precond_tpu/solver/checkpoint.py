@@ -84,9 +84,9 @@ def save_factors(path: str, fac) -> None:
     if fac.dr is not None:
         arrays["dr"] = fac.dr
         arrays["dc"] = fac.dc
-    for i, (FA, FB, perm) in enumerate(eng.factors):
-        arrays[f"r{i}_FA"] = np.asarray(FA)
-        arrays[f"r{i}_FB"] = np.asarray(FB)
+    for i, (FP, L21, perm) in enumerate(eng.factors):
+        arrays[f"r{i}_FP"] = np.asarray(FP)
+        arrays[f"r{i}_L21"] = np.asarray(L21)
         arrays[f"r{i}_perm"] = np.asarray(perm)
     np.savez(path, **arrays)
 
@@ -107,12 +107,12 @@ def load_factors(path: str, fac) -> None:
         raise ValueError("checkpoint flat_len mismatch")
     factors = []
     for i, plan in enumerate(eng.plans):
-        FA = z[f"r{i}_FA"]
-        if FA.shape != (plan.B, plan.P, plan.N):
-            raise ValueError(f"round {i}: factor shape {FA.shape} != "
+        FP = z[f"r{i}_FP"]
+        if FP.shape != (plan.B, plan.P, plan.N):
+            raise ValueError(f"round {i}: factor shape {FP.shape} != "
                              f"{(plan.B, plan.P, plan.N)}")
-        factors.append((eng._put(FA.astype(eng.prec), plan.B),
-                        eng._put(z[f"r{i}_FB"].astype(eng.prec), plan.B),
+        factors.append((eng._put(FP.astype(eng.prec), plan.B),
+                        eng._put(z[f"r{i}_L21"].astype(eng.prec), plan.B),
                         eng._put(z[f"r{i}_perm"], plan.B)))
     eng.factors = tuple(factors)
     if "dr" in z.files:

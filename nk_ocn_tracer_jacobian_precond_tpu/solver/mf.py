@@ -79,6 +79,7 @@ class MultifrontalFactorization:
                 fac_matrix, self.dr, self.dc = equilibrate(matrix)
         else:
             fac_matrix, self.dr, self.dc = matrix, None, None
+        self._fac_matrix = fac_matrix
         with timed(f"numeric factorization ({impl})"):
             if impl == "numpy":
                 from .mf_numpy import NumpyMultifrontal
@@ -88,6 +89,23 @@ class MultifrontalFactorization:
                 self.engine = JaxMultifrontal(sym, fac_matrix, mesh=self.mesh)
             else:
                 raise ValueError(f"unknown multifrontal impl: {impl}")
+
+    def refactor(self, matrix: SparseMatrix | None = None) -> None:
+        """Numeric refactorization with the same sparsity pattern — the
+        Newton-iteration reuse path (new Jacobian values each outer
+        iteration, identical symbolic plan and compiled kernels). The old
+        factors are replaced in place; peak memory is one factor set plus
+        the bounded per-chunk transients."""
+        if matrix is not None:
+            self.matrix = matrix
+            self.A = matrix.to_scipy()
+            if self.dr is not None:
+                self._fac_matrix, self.dr, self.dc = equilibrate(matrix)
+            else:
+                self._fac_matrix = matrix
+            self._refiner = None
+        with timed("numeric refactorization"):
+            self.engine._factorize(self._fac_matrix)
 
     def validate(self) -> dict:
         """Failure detection: scan the computed factors for non-finite

@@ -4,11 +4,20 @@ Executes the symbolic plan as *rounds* of batched dense linear algebra:
 all fronts in a round are padded to one (B, N, N) tensor, assembled by a
 single scatter of the CSR values, extended with their children's Schur
 complements via padded gathers (no giant scatter index tensors), and
-partially factored with a blocked, no-pivot LU whose panel updates are
-MXU GEMMs. This is the TPU replacement for SuperLU_DIST's pdgstrf
-supernodal factorization (reference SuperLU_brief_tree.txt:12-14); like
-SuperLU_DIST's static-pivoting GESP strategy, accuracy lost to restricted
-pivoting is recovered by float64 iterative refinement.
+partially factored with a blocked LU with restricted partial pivoting
+(pivot rows confined to fully-summed rows; XLA's native batched LU for
+the small-batch tree-top rounds) whose panel updates are MXU GEMMs, and
+whose pivot-block triangles are inverted at factor time (blocked GEMM
+inversion) so the per-RHS solve path is GEMM-only. This is the TPU
+replacement for SuperLU_DIST's pdgstrf supernodal factorization
+(reference SuperLU_brief_tree.txt:12-14); like SuperLU_DIST's
+static-pivoting GESP strategy, accuracy lost to restricted pivoting is
+recovered by mixed-precision refinement (solver/refine.py).
+
+With a device mesh, every round's batch axis is sharded (GSPMD): plan
+constants carry NamedShardings and the sharding propagates through
+assembly, extend-add, factor kernels, and the level-wave solves — the
+TPU form of SuperLU_DIST's 2-D process-grid distribution.
 
 Precision: factors are computed in PREC (float32 on TPU by default —
 MXU-friendly; float64 under tests on CPU), solves run in the same
@@ -169,6 +178,9 @@ def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
 
     plans: list[RoundPlan] = []
     slot_of_node: dict[int, tuple[int, int]] = {}
+    # flat scratch of padded front positions per cell: one write + gathers
+    # per front instead of argsort+searchsorted (gx1-scale hot spot)
+    cell_fpos = np.empty(flat_len, dtype=np.int64)
     for rnd, node_ids in enumerate(chunked_rounds):
         B_real = len(node_ids)
         # pad the batch as well: dummy identity fronts cost almost nothing
@@ -194,20 +206,14 @@ def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
             cells_own[b, :p] = f.cells[:p]
             if n > p:
                 cells_bor[b, :n - p] = f.cells[p:]
-            # padded front position per cell, via sorted lookup
-            fpos = np.concatenate([np.arange(p), P + np.arange(n - p)])
-            sort_idx = np.argsort(f.cells)
-            s_cells = f.cells[sort_idx]
-            s_pos = fpos[sort_idx]
-
-            def pos_of(cells_arr):
-                loc = np.searchsorted(s_cells, cells_arr)
-                return s_pos[loc]
+            # padded front position per cell, via flat scratch gather
+            cell_fpos[f.cells[:p]] = np.arange(p)
+            cell_fpos[f.cells[p:]] = P + np.arange(n - p)
 
             ent = order[bounds[nid]:bounds[nid + 1]]
             if len(ent):
-                rp = pos_of(rows[ent])
-                cp = pos_of(cols[ent])
+                rp = cell_fpos[rows[ent]]
+                cp = cell_fpos[cols[ent]]
                 pos_l[b] = rp * N + cp
                 src_l[b] = entry_src[ent]
             for ch in f.children:
@@ -215,7 +221,7 @@ def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
                 src_rnd, src_slot = slot_of_node[ch]
                 M_src = plans[src_rnd].M
                 inv = np.full(N, M_src, dtype=np.int32)
-                q = pos_of(cf.cells[cf.p:])
+                q = cell_fpos[cf.cells[cf.p:]]
                 inv[q] = np.arange(cf.n - cf.p)
                 links.append((src_rnd, src_slot, b, inv))
         # per-front entry lists padded to a rectangle: pad positions point
@@ -270,15 +276,34 @@ def _extend_add(F, S_src, src_slots, dst_slots, inv):
     F[dst_slots[l]] += S_src[src_slots[l]][inv[l]][:, inv[l]], with S padded
     by a zero row/column so out-of-front positions contribute nothing.
     Duplicate dst slots (a front with several children in the same source
-    round) accumulate through the scatter-add."""
+    round) accumulate through the scatter-add.
+
+    The row selection is a major-axis gather; the COLUMN selection is a
+    one-hot GEMM on the MXU. XLA:TPU's gather kernel faults outright on
+    the column step at gx3deep-class front widths (~2k, reproduced
+    standalone in every formulation — minor-axis, transposed, barriered,
+    split into separate programs); selection-by-matmul sidesteps the
+    kernel entirely and is exact (exactly one unit coefficient per output
+    at HIGHEST precision)."""
+    Mp1 = S_src.shape[1] + 1
+    L = src_slots.shape[0]
+    N = inv.shape[1]
     Sp = jnp.pad(S_src, ((0, 0), (0, 1), (0, 1)))
-    G = Sp[src_slots]
-
-    def one(g, iv):
-        return g[iv][:, iv]
-
-    adds = jax.vmap(one)(G, inv)
-    return F.at[dst_slots].add(adds)
+    # chunk over links so the (Lc, N, M+1) temporaries stay bounded
+    # (~0.5 GB) — at gx3deep-scale rounds the unchunked temporaries were
+    # several GB on top of the resident factors
+    Lc = max(1, int(5e8 / (4 * N * Mp1)))
+    for lo in range(0, L, Lc):
+        hi = min(lo + Lc, L)
+        iv = inv[lo:hi]
+        G = Sp[src_slots[lo:hi]]
+        rows = jax.vmap(lambda g, i: g[i])(G, iv)        # (Lc, N, M+1)
+        onehot = (iv[:, :, None] == jnp.arange(Mp1)[None, None, :]
+                  ).astype(F.dtype)                      # (Lc, N, M+1)
+        adds = jnp.einsum("lak,lbk->lab", rows, onehot,
+                          precision=jax.lax.Precision.HIGHEST)
+        F = F.at[dst_slots[lo:hi]].add(adds)
+    return F
 
 
 def _pivoted_panel(Pan, off: int, p_arr):
@@ -394,17 +419,17 @@ def _finish_factor(F, lu, perm, P: int):
     packed LU and row permutation are known: invert the triangles (GEMM
     blocks), form U12/L21 by GEMM, Schur-update the border.
 
-    The factors are stored as FULL (unmasked) inverse triangles:
-      FA = [ L11^-1 | U12 ]   (B, P, N)
-      FB = [ U11^-1 ; L21 ]   (B, N, P)
-    Storing both triangles separately costs one extra P^2 block per front
-    but makes every per-RHS solve round a single GEMM per block — a
-    tril/triu mask would materialize the whole factor stack as temporaries
-    on every preconditioner application (gigabytes of HBM traffic per
-    Krylov iteration)."""
+    The factors are stored PACKED: FP = [K | U12] (B, P, N) with
+    K = stril(L11^-1) + triu(U11^-1) (L11^-1 has unit diagonal, implicit),
+    plus L21 (B, M, P). The solve rounds re-split K with tril/triu masks —
+    the masked temporaries fuse into the GEMMs cheaply (measured: no solve
+    slowdown vs storing both triangles unmasked), while packing saves a
+    P^2 block per front (1.3 GB at gx3deep, where single-chip HBM is the
+    binding constraint)."""
     N = F.shape[-1]
     Linv = _block_tri_inv(lu, lower=True, unit_diagonal=True)
     Uinv = _block_tri_inv(lu, lower=False, unit_diagonal=False)
+    K = jnp.tril(Linv, -1) + jnp.triu(Uinv)
     mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
     bord = N - P
     if bord > 0:
@@ -416,9 +441,8 @@ def _finish_factor(F, lu, perm, P: int):
         U12 = jnp.zeros((F.shape[0], P, 0), dtype=F.dtype)
         L21 = jnp.zeros((F.shape[0], 0, P), dtype=F.dtype)
         S = jnp.zeros((F.shape[0], 0, 0), dtype=F.dtype)
-    FA = jnp.concatenate([Linv, U12], axis=2)
-    FB = jnp.concatenate([Uinv, L21], axis=1)
-    return FA, FB, S, perm
+    FP = jnp.concatenate([K, U12], axis=2)
+    return FP, L21, S, perm
 
 
 def _partial_factor_small_batch(F, P: int):
@@ -504,45 +528,47 @@ def _partial_factor_body(F, P: int, p_arr):
     # (XLA:TPU's triangular_solve is serial in the panel count — a latency
     # disaster when the solve is reapplied dozens of times as a Krylov
     # preconditioner); U12/L21 were already TRSM'd in place by the panel
-    # loop. Layout matches _finish_factor.
+    # loop. Layout matches _finish_factor (packed K).
     LU11 = F[:, :P, :P]
     Linv = _block_tri_inv(LU11, lower=True, unit_diagonal=True)
     Uinv = _block_tri_inv(LU11, lower=False, unit_diagonal=False)
-    FA = jnp.concatenate([Linv, F[:, :P, P:]], axis=2)
-    FB = jnp.concatenate([Uinv, F[:, P:, :P]], axis=1)
-    return FA, FB, S, perm_total
+    K = jnp.tril(Linv, -1) + jnp.triu(Uinv)
+    FP = jnp.concatenate([K, F[:, :P, P:]], axis=2)
+    return FP, F[:, P:, :P], S, perm_total
 
 
 _partial_factor = jax.jit(_partial_factor_body, static_argnames=("P",))
 
 
-def _fwd_round(W, FA, FB, perm, cells_own, cells_bor):
-    """Forward substitution for one round, batched over fronts: pure GEMMs
-    against the stored inverse triangles (FA = [L11^-1 | U12],
-    FB = [U11^-1 ; L21]).
+def _fwd_round(W, FP, L21, perm, cells_own, cells_bor):
+    """Forward substitution for one round, batched over fronts: GEMMs
+    against the packed inverse triangles (L11^-1 = I + stril(K)).
 
     W is (flat_len+1, nrhs) with a trailing dump row for padding."""
     P = cells_own.shape[1]
+    K = FP[:, :, :P]
     rhs = W[cells_own]                                  # (B, P, nrhs)
     rhs = jnp.take_along_axis(rhs, perm[:, :, None], axis=1)
-    y = jnp.matmul(FA[:, :, :P], rhs, preferred_element_type=rhs.dtype,
-                   precision=jax.lax.Precision.HIGHEST)
+    y = rhs + jnp.matmul(jnp.tril(K, -1), rhs,
+                         preferred_element_type=rhs.dtype,
+                         precision=jax.lax.Precision.HIGHEST)
     W = W.at[cells_own.reshape(-1)].set(y.reshape(-1, y.shape[-1]), mode="drop")
-    upd = jnp.matmul(FB[:, P:, :], y, preferred_element_type=y.dtype,
+    upd = jnp.matmul(L21, y, preferred_element_type=y.dtype,
                      precision=jax.lax.Precision.HIGHEST)
     W = W.at[cells_bor.reshape(-1)].add(-upd.reshape(-1, y.shape[-1]),
                                         mode="drop")
     return W
 
 
-def _bwd_round(W, FA, FB, cells_own, cells_bor):
-    """Backward substitution: x = U11^-1 (rhs - U12 xb)."""
+def _bwd_round(W, FP, L21, cells_own, cells_bor):
+    """Backward substitution: x = U11^-1 (rhs - U12 xb), U11^-1 = triu(K)."""
     P = cells_own.shape[1]
+    K = FP[:, :, :P]
     rhs = W[cells_own]
     xb = W[cells_bor]
-    rhs = rhs - jnp.matmul(FA[:, :, P:], xb, preferred_element_type=rhs.dtype,
+    rhs = rhs - jnp.matmul(FP[:, :, P:], xb, preferred_element_type=rhs.dtype,
                            precision=jax.lax.Precision.HIGHEST)
-    x = jnp.matmul(FB[:, :P, :], rhs, preferred_element_type=rhs.dtype,
+    x = jnp.matmul(jnp.triu(K), rhs, preferred_element_type=rhs.dtype,
                    precision=jax.lax.Precision.HIGHEST)
     W = W.at[cells_own.reshape(-1)].set(x.reshape(-1, x.shape[-1]), mode="drop")
     return W
@@ -647,6 +673,10 @@ class JaxMultifrontal:
                 for i in range(0, 2 * len(self.plans), 2)]
 
     def _factorize(self, matrix: SparseMatrix) -> None:
+        # drop any previous factors FIRST: holding the old set while the
+        # new one builds doubles peak memory — exactly the refactor-path
+        # OOM at gx3deep scale (factors alone are ~40% of HBM there)
+        self.factors = None
         # sentinel zero at the end: padded a_src entries contribute nothing
         nz = np.zeros(len(matrix.nzval) + 1, dtype=self.prec)
         nz[:-1] = matrix.nzval
@@ -672,9 +702,9 @@ class JaxMultifrontal:
                     uses[src_rnd] -= 1
                     if uses[src_rnd] == 0:
                         schur[src_rnd] = None
-                FA, FB, S, perm = _partial_factor(F, P=plan.P,
-                                                  p_arr=cc["p_arr"])
-                factors.append((FA, FB, perm))
+                FP, L21, S, perm = _partial_factor(F, P=plan.P,
+                                                   p_arr=cc["p_arr"])
+                factors.append((FP, L21, perm))
                 schur[rnd] = S
             self.factors = tuple(factors)
             jax.block_until_ready(self.factors)
@@ -688,12 +718,12 @@ class JaxMultifrontal:
     def _solve_program(self, W, factors, flat_consts):
         consts = self._unflatten_consts(flat_consts)
         for rnd in range(len(self.plans)):
-            FA, FB, perm = factors[rnd]
-            W = _fwd_round(W, FA, FB, perm,
+            FP, L21, perm = factors[rnd]
+            W = _fwd_round(W, FP, L21, perm,
                            consts[rnd]["own"], consts[rnd]["bor"])
         for rnd in range(len(self.plans) - 1, -1, -1):
-            FA, FB, perm = factors[rnd]
-            W = _bwd_round(W, FA, FB, consts[rnd]["own"], consts[rnd]["bor"])
+            FP, L21, perm = factors[rnd]
+            W = _bwd_round(W, FP, L21, consts[rnd]["own"], consts[rnd]["bor"])
         return W
 
     def solve(self, b: np.ndarray) -> np.ndarray:

@@ -43,11 +43,44 @@ class ColumnGraph:
     def neighbors(self, c: int) -> np.ndarray:
         return self.adj_indices[self.adj_indptr[c]:self.adj_indptr[c + 1]]
 
+    def neighbors_of(self, cols: np.ndarray) -> np.ndarray:
+        """Unique neighbors of a set of columns — one vectorized gather
+        (the per-column Python loop was a gx1-scale hot spot)."""
+        if len(cols) == 0:
+            return np.empty(0, dtype=np.int64)
+        starts = self.adj_indptr[cols]
+        counts = self.adj_indptr[cols + 1] - starts
+        total = int(counts.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.int64)
+        offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        return np.unique(self.adj_indices[np.repeat(starts, counts) + offs])
+
     def block_cells(self, c: int) -> np.ndarray:
         """All matrix indices belonging to super-column c (t-major)."""
         s, d = self.cell_start[c], self.depth[c]
         base = np.arange(s, s + d)
         return np.concatenate([t * self.tsl + base for t in range(self.nt)])
+
+    def cells_of_cols(self, cols: np.ndarray) -> np.ndarray:
+        """Concatenated block_cells over many columns, vectorized,
+        preserving block_cells' order (per column: tracer-major)."""
+        if len(cols) == 0:
+            return np.empty(0, dtype=np.int64)
+        d = self.depth[cols].astype(np.int64)
+        s = self.cell_start[cols].astype(np.int64)
+        total = int(d.sum())
+        offs = np.arange(total) - np.repeat(np.cumsum(d) - d, d)
+        base = np.repeat(s, d) + offs            # per-column contiguous cells
+        if self.nt == 1:
+            return base
+        seg = np.repeat(np.arange(len(cols)), d)
+        allc = np.concatenate([base + t * self.tsl for t in range(self.nt)])
+        allseg = np.tile(seg, self.nt)
+        allt = np.repeat(np.arange(self.nt), total)
+        alloff = np.tile(offs, self.nt)
+        order = np.lexsort((alloff, allt, allseg))
+        return allc[order]
 
     @property
     def block_size(self) -> np.ndarray:

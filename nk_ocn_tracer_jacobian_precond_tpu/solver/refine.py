@@ -1,21 +1,33 @@
-"""Device-resident mixed-precision refinement: batched GMRES-IR.
+"""Mixed-precision refinement: FGMRES-IR3, inner cycles on device.
 
 The rebuild of SuperLU_DIST's iterative refinement (pdgsrfs*, reference
 SuperLU_brief_tree.txt:20-24), upgraded for a float32 factorization: the
 restricted-pivot LU suffers real element growth on these transport
-matrices (measured ~1e7 at gx3), so plain residual correction stalls in
-float32. GMRES-IR — float64 Krylov vectors, the float32 factorization as
-a right preconditioner — is the standard mixed-precision repair (GESP +
-refinement taken one step further) and converges to ~1e-12 relative
-residuals.
+matrices (measured ~1e7 at gx3, worse at 60 levels), so plain residual
+correction stalls in float32. The repair is three-precision flexible
+GMRES iterative refinement:
 
-Everything runs on the device: the float64 CSR SpMV, the float32
-multifrontal solve (as the preconditioner), the Gram-Schmidt
-orthogonalization, and the small least-squares solve. One restart cycle
-is ONE compiled XLA program — per-dispatch latency on a remote TPU link
-is ~50-100 ms, so scattering a Krylov iteration over many dispatches
-(as host-side scipy.gmres does, one RHS at a time) costs more in latency
-than in math. All right-hand sides iterate together, batched.
+  * OUTER loop (host, exact float64): r = b - A x via scipy SpMV (13 ms
+    at gx3). Exactness matters — TPU float64 is ~48-bit two-float
+    emulation and left a measurable attainable-residual floor when the
+    outer residual lived on device.
+  * INNER correction (device, ONE compiled program per restart): batched
+    FGMRES solving A d = r a few digits — float32 Krylov vectors, the
+    float32 multifrontal solve as the preconditioner with its outputs
+    STORED (flexible GMRES: the correction is the stored combination
+    Z y, never a re-application — re-rounding M^-1(Vy) through float32
+    carries basis-cancellation-amplified noise that floored the whole
+    refinement at ~3e-10 on 60-level problems), Givens-QR least squares
+    (normal equations square kappa(H) and also floored it). Escalates
+    the Krylov working precision to emulated float64 only if float32
+    cycles stall far from the target.
+
+One restart cycle is ONE device dispatch — per-dispatch latency on a
+remote TPU link is ~50-100 ms, so scattering a Krylov iteration over many
+dispatches (as host-side scipy.gmres does, one RHS at a time) costs more
+in latency than in math. All right-hand sides iterate together, batched.
+Reaches SuperLU's own refined-residual floor (kappa_Skeel * eps64):
+~5e-12 at gx3, ~1.5e-11 at gx3deep.
 """
 
 from __future__ import annotations
@@ -30,22 +42,49 @@ import jax.numpy as jnp
 from ..utils import dbg, timed
 
 
-def _small_spd_solve(G, t):
-    """Batched solve of tiny SPD systems G y = t (G (r, m, m), t (r, m))
-    by Gauss-Jordan without pivoting — XLA:TPU has no float64
-    LuDecomposition, and for the ridge-regularized Gram matrix of a
-    near-orthonormal Krylov basis pivoting is unnecessary."""
-    m = G.shape[-1]
-    A = jnp.concatenate([G, t[:, :, None]], axis=2)      # (r, m, m+1)
+def _givens_lstsq(H, beta, m: int):
+    """Batched min ||beta e1 - H y|| for the tiny Hessenberg H
+    (m+1, m, nrhs) via Givens QR, unrolled (m is small and static).
 
-    def body(k, A):
-        pivot_row = A[:, k, :] / A[:, k, k][:, None]
-        factor = A[:, :, k]
-        A = A - factor[:, :, None] * pivot_row[:, None, :]
-        return A.at[:, k, :].set(pivot_row)
-
-    A = jax.lax.fori_loop(0, m, body, A)
-    return A[:, :, m]
+    Normal equations square kappa(H) — and the Krylov basis of a
+    float32-factor-preconditioned operator with 1e9-class element growth
+    (60-level problems) is EXACTLY where kappa(H) is large; the Gram-
+    matrix route put a hard ~5e-10 floor under the whole refinement.
+    Givens QR is backward stable and costs nothing at this size.
+    XLA:TPU has no f64 QR/LU custom call, so this is plain jnp ops."""
+    nrhs = H.shape[-1]
+    g = jnp.zeros((m + 1, nrhs), dtype=H.dtype)
+    g = g.at[0].set(beta.astype(H.dtype))
+    cs, sn = [], []
+    for j in range(m):
+        col = H[:, j, :]
+        for i in range(j):
+            a, b = col[i], col[i + 1]
+            col = col.at[i].set(cs[i] * a + sn[i] * b)
+            col = col.at[i + 1].set(-sn[i] * a + cs[i] * b)
+        a, b = col[j], col[j + 1]
+        r = jnp.sqrt(a * a + b * b)
+        ok = r > 0
+        rs = jnp.where(ok, r, 1.0)
+        c = jnp.where(ok, a / rs, 1.0)
+        s = jnp.where(ok, b / rs, 0.0)
+        cs.append(c)
+        sn.append(s)
+        col = col.at[j].set(r).at[j + 1].set(0.0)
+        H = H.at[:, j, :].set(col)
+        ga, gb = g[j], g[j + 1]
+        g = g.at[j].set(c * ga + s * gb)
+        g = g.at[j + 1].set(-s * ga + c * gb)
+    # back substitution on the upper-triangular R = H[:m, :m]
+    y = jnp.zeros((m, nrhs), dtype=H.dtype)
+    for j in range(m - 1, -1, -1):
+        acc = g[j]
+        for k in range(j + 1, m):
+            acc = acc - H[j, k, :] * y[k]
+        d = H[j, j, :]
+        ok = jnp.abs(d) > 0
+        y = y.at[j].set(jnp.where(ok, acc / jnp.where(ok, d, 1.0), 0.0))
+    return y                                             # (m, nrhs)
 
 
 class DeviceRefiner:
@@ -90,67 +129,80 @@ class DeviceRefiner:
         nnz = len(matrix.colind)
         rows = np.repeat(np.arange(n, dtype=np.int64), rowlen)
         pos = np.arange(nnz, dtype=np.int64) - rowptr[rows]
-        # the INNER correction solver runs wholly in float32 (IR3: only
-        # the outer residual needs high precision, and it lives on the
-        # host; float64 on TPU is ~48-bit two-float emulation and made the
-        # Krylov cycle 4x slower for zero accuracy benefit)
+        # both precisions of the matrix kept on device: float32 for the
+        # standard inner cycles, float64 for the escalation tier
         ell_col = np.full((n, E), n, dtype=np.int32)     # n -> zero pad row
-        ell_val = np.zeros((n, E), dtype=np.float32)
+        ell_val = np.zeros((n, E), dtype=np.float64)
         ell_col[rows, pos] = np.asarray(matrix.colind, dtype=np.int32)
-        ell_val[rows, pos] = np.asarray(matrix.nzval, dtype=np.float32)
+        ell_val[rows, pos] = np.asarray(matrix.nzval, dtype=np.float64)
         self._ell_col = put(ell_col, None)
-        self._ell_val = put(ell_val, None)
+        self._ell_val32 = put(ell_val.astype(np.float32), None)
+        self._ell_val64 = put(ell_val, None)
         one = np.ones(n)
         self._dr = put(np.asarray(dr if dr is not None else one,
-                                  dtype=np.float32), None)
+                                  dtype=np.float64), None)
         self._dc = put(np.asarray(dc if dc is not None else one,
-                                  dtype=np.float32), None)
+                                  dtype=np.float64), None)
         self._cycle_jit = {}
 
     # -- building blocks (traced inside the cycle program) -----------------
 
-    def _env(self):
+    def _env(self, dtype):
         """Every large device array the programs touch, passed as jit
         ARGUMENTS — closing over them would bake gigabytes of factors into
         the compiled executable as constants."""
         return dict(factors=self.engine.factors,
                     consts=self.engine._flatten_consts(),
-                    ell_val=self._ell_val, ell_col=self._ell_col,
+                    ell_val=(self._ell_val32 if dtype == jnp.float32
+                             else self._ell_val64),
+                    ell_col=self._ell_col,
                     dr=self._dr, dc=self._dc)
 
     def _spmv(self, env, x):
-        """y = A x in float32; x (n, nrhs)."""
+        """y = A x in the Krylov working precision; x (n, nrhs)."""
         xp = jnp.concatenate(
             [x, jnp.zeros((1, x.shape[1]), dtype=x.dtype)], axis=0)
         return jnp.sum(env["ell_val"][:, :, None] * xp[env["ell_col"]],
                        axis=1)
 
     def _precond(self, env, v):
-        """M^-1 v: scale, multifrontal solve, unscale (all f32)."""
+        """M^-1 v: scale, float32 multifrontal solve, unscale; the result
+        comes back in the caller's working precision."""
         eng = self.engine
-        r32 = (env["dr"][:, None] * v).astype(eng.prec)
+        r32 = (env["dr"].astype(v.dtype)[:, None] * v).astype(eng.prec)
         W = jnp.concatenate(
             [r32, jnp.zeros((1, r32.shape[1]), dtype=eng.prec)], axis=0)
         W = eng._solve_program(W, env["factors"], env["consts"])
-        return (env["dc"][:, None] * W[:self.n]).astype(jnp.float32)
+        return env["dc"].astype(v.dtype)[:, None] * W[:self.n].astype(v.dtype)
 
-    def _make_cycle(self, m: int, nrhs: int):
+    def _make_cycle(self, m: int, nrhs: int, dtype=jnp.float32):
         n = self.n
 
         def cycle(b, env):
-            """One restarted-GMRES correction: solve A d ~= b from zero,
-            return d. The caller owns the outer residual (host, exact)."""
+            """One restarted-FGMRES correction: solve A d ~= b from zero,
+            return d. The caller owns the outer residual (host, exact).
+
+            Flexible GMRES: the preconditioned vectors Z_j = M^-1 v_j are
+            STORED and the correction is their linear combination Z y.
+            Re-applying M^-1 to V y instead (plain right-preconditioned
+            GMRES) re-rounds through the float32 solve, whose
+            nonlinearity is amplified by basis cancellation (||y|| >>
+            ||Zy|| for ill-conditioned H) — measured as an absolute
+            ~3e-10 noise floor on 60-level problems."""
             beta = jnp.linalg.norm(b, axis=0)               # (nrhs,)
             safe = jnp.where(beta > 0, beta, 1.0)
-            V = jnp.zeros((m + 1, n, nrhs), dtype=jnp.float32)
-            V = V.at[0].set(b / safe)
-            H = jnp.zeros((m + 1, m, nrhs), dtype=jnp.float32)
+            V = jnp.zeros((m + 1, n, nrhs), dtype=dtype)
+            V = V.at[0].set((b / safe).astype(dtype))
+            Z = jnp.zeros((m, n, nrhs), dtype=dtype)
+            H = jnp.zeros((m + 1, m, nrhs), dtype=dtype)
 
             def body(j, carry):
-                V, H = carry
-                w = self._spmv(env, self._precond(env, V[j]))
-                mask = (jnp.arange(m + 1) <= j).astype(jnp.float32)
-                coef_tot = jnp.zeros((m + 1, nrhs), dtype=jnp.float32)
+                V, Z, H = carry
+                z = self._precond(env, V[j])
+                Z = Z.at[j].set(z)
+                w = self._spmv(env, z)
+                mask = (jnp.arange(m + 1) <= j).astype(dtype)
+                coef_tot = jnp.zeros((m + 1, nrhs), dtype=dtype)
                 # classical Gram-Schmidt, two passes (re-orthogonalized —
                 # one-shot CGS is batched-matmul friendly but loses
                 # orthogonality exactly when the preconditioned operator
@@ -164,23 +216,15 @@ class DeviceRefiner:
                 H = H.at[:, j, :].add(coef_tot)
                 H = H.at[j + 1, j, :].set(hnorm)
                 V = V.at[j + 1].set(w / hsafe)
-                return V, H
+                return V, Z, H
 
-            V, H = jax.lax.fori_loop(0, m, body, (V, H))
+            V, Z, H = jax.lax.fori_loop(0, m, body, (V, Z, H))
 
-            # least squares min ||beta e1 - H y|| per RHS via normal
-            # equations (m is tiny; H columns are near-orthonormal scaled)
-            Hr = H.transpose(2, 0, 1)                       # (nrhs, m+1, m)
-            g = jnp.zeros((nrhs, m + 1, 1), dtype=jnp.float32)
-            g = g.at[:, 0, 0].set(beta)
-            G = jnp.einsum("rim,rik->rmk", Hr, Hr)
-            ridge = 1e-12 * jnp.trace(G, axis1=1, axis2=2)[:, None, None] \
-                / m + 1e-30
-            G = G + ridge * jnp.eye(m, dtype=jnp.float32)[None]
-            t = jnp.einsum("rim,rik->rmk", Hr, g)[:, :, 0]  # (nrhs, m)
-            y = _small_spd_solve(G, t)
-            u = jnp.einsum("inr,ri->nr", V[:m], y)
-            return self._precond(env, u)
+            # least squares min ||beta e1 - H y|| per RHS via Givens QR
+            # (backward stable; see _givens_lstsq for why not normal
+            # equations)
+            y = _givens_lstsq(H, beta, m)                   # (m, nrhs)
+            return jnp.einsum("inr,ir->nr", Z, y)
 
         return jax.jit(cycle)
 
@@ -204,16 +248,19 @@ class DeviceRefiner:
         bnorm = np.linalg.norm(B, axis=0)
         bnorm[bnorm == 0] = 1.0
         put = self.engine._put
-        env = None
         # phase memo: once a factorization is known to need Krylov
         # corrections, later solves (same factors, new RHS — the Newton
         # loop) skip the doomed plain-IR attempts
         phase = getattr(self, "_phase", "ir")
         applied_ir = False
         prev = np.inf
+        stall = 0
         with timed("refine (gmres-ir3)"), \
                 jax.default_matmul_precision("highest"):
-            for outer in range(self.max_cycles + 4):
+            # progress-based termination: keep cycling while each outer
+            # still contracts the residual meaningfully; a hard cap of
+            # 3x max_cycles bounds pathological cases
+            for outer in range(3 * self.max_cycles):
                 # OUTER residual on host: exact float64, no emulated-f64
                 # attainable-accuracy floor
                 R = Bp - self.A @ X
@@ -229,18 +276,37 @@ class DeviceRefiner:
                     # escalate to Krylov corrections
                     phase = "gmres"
                     self._phase = "gmres"
+                elif phase == "gmres" and rel > 0.5 * prev:
+                    if rel <= 1e3 * self.tol:
+                        # stalled within sight of the target: this is the
+                        # float64 attainable floor (kappa_Skeel * eps64 —
+                        # SuperLU's own refined residual sits here too)
+                        dbg(1, "refine: converged to the attainable floor")
+                        break
+                    # the float32 inner correction stalled far from the
+                    # target: escalate the Krylov working precision to
+                    # (emulated) float64 — the factor stays float32
+                    phase = "gmres64"
+                    self._phase = "gmres64"
+                    dbg(1, "refine: escalating inner cycle to float64")
+                elif phase == "gmres64":
+                    stall = stall + 1 if rel > 0.7 * prev else 0
+                    if stall >= 2:
+                        dbg(1, "refine: converged to the attainable floor")
+                        break
                 prev = rel
                 if phase == "ir":
                     X = X + self.precond_host(R)
                     applied_ir = True
                 else:
-                    key = (self.m, padn)
+                    dt = np.float32 if phase == "gmres" else np.float64
+                    jdt = jnp.float32 if phase == "gmres" else jnp.float64
+                    key = (self.m, padn, phase)
                     if key not in self._cycle_jit:
-                        self._cycle_jit[key] = self._make_cycle(self.m, padn)
-                    if env is None:
-                        env = self._env()
+                        self._cycle_jit[key] = self._make_cycle(
+                            self.m, padn, dtype=jdt)
                     d = self._cycle_jit[key](
-                        put(R.astype(np.float32), None), env)
+                        put(R.astype(dt), None), self._env(jdt))
                     X = X + np.asarray(d, dtype=np.float64)
         X = X[:, :nrhs]
         return X[:, 0] if single else X

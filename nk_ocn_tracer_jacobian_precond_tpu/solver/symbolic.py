@@ -89,10 +89,7 @@ def analyze(graph: ColumnGraph, tree: DissectionTree) -> SymbolicFactorization:
             hi = max(hi, sub_hi[ch])
         sub_lo[nid], sub_hi[nid] = lo, hi
         cand = [border[ch] for ch in nd.children]
-        nbrs = np.unique(np.concatenate(
-            [graph.neighbors(c) for c in nd.owned] or
-            [np.empty(0, dtype=np.int64)]))
-        cand.append(nbrs)
+        cand.append(graph.neighbors_of(np.asarray(nd.owned, dtype=np.int64)))
         allc = np.unique(np.concatenate(cand)) if cand else np.empty(0, np.int64)
         # outside the subtree == eliminated after every column in it
         outside = allc[(elim[allc] < lo) | (elim[allc] > hi)]
@@ -106,23 +103,26 @@ def analyze(graph: ColumnGraph, tree: DissectionTree) -> SymbolicFactorization:
         oc = by_elim(nd.owned)
         bc = by_elim(border[nid])
         cells = np.concatenate(
-            [graph.block_cells(c) for c in oc] +
-            [graph.block_cells(c) for c in bc]) if len(oc) or len(bc) else \
-            np.empty(0, np.int64)
+            [graph.cells_of_cols(oc), graph.cells_of_cols(bc)])
         p = int(graph.block_size[oc].sum())
         fronts[nid] = Front(node=nid, owned_cols=oc, border_cols=bc,
                             cells=cells, p=p, n=len(cells),
                             parent=nd.parent, parent_map=None,
                             children=list(nd.children), round=nd.round)
 
-    # extend-add maps: child border cells -> positions in parent front
-    for nid, f in fronts.items():
-        if f.parent < 0:
+    # extend-add maps: child border cells -> positions in parent front.
+    # One flat scratch array instead of a per-parent dict (a gx1-scale
+    # hot spot); each parent's positions are written once, then every
+    # child maps its border by a single gather.
+    pos_of_cell = np.empty(graph.nt * graph.tsl, dtype=np.int64)
+    for nid in tree.postorder:
+        pf = fronts[nid]
+        if not pf.children:
             continue
-        pf = fronts[f.parent]
-        pos_of_cell = {c: i for i, c in enumerate(pf.cells)}
-        f.parent_map = np.array([pos_of_cell[c] for c in f.cells[f.p:]],
-                                dtype=np.int64)
+        pos_of_cell[pf.cells] = np.arange(pf.n)
+        for ch in pf.children:
+            cf = fronts[ch]
+            cf.parent_map = pos_of_cell[cf.cells[cf.p:]]
 
     nrounds = max(f.round for f in fronts.values()) + 1
     rounds = [[] for _ in range(nrounds)]
