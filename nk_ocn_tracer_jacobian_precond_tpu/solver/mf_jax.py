@@ -460,9 +460,15 @@ def _partial_factor_small_batch(F, P: int):
     return _finish_factor(F, lu, perm.astype(jnp.int32), P)
 
 
-def _partial_factor_body(F, P: int, p_arr):
+def _partial_factor_body(F, P: int, p_arr, use_pallas: bool = False):
     """Blocked LU with restricted partial pivoting of F[:, :P, :P]; TRSM of
     the off-blocks; Schur update.
+
+    With ``use_pallas`` (TPU, unsharded, float32) the sequential pivoted
+    panel step runs as a Pallas kernel that keeps each front's panel in
+    VMEM across all column steps (solver/pallas_kernels.py — measured
+    4-6x faster than the XLA fori_loop formulation, which round-trips the
+    batched panel through HBM every column).
 
     Returns (FA, FB, S, perm): FA = [L11^-1 | U12] (B, P, N),
     FB = [U11^-1 ; L21] (B, N, P) — see _finish_factor for the layout
@@ -484,7 +490,14 @@ def _partial_factor_body(F, P: int, p_arr):
         T = min(PANEL, P - off)
         R = P - off
         Pan = jax.lax.dynamic_slice(F, (0, off, off), (B, R, T))
-        Pan, piv = _pivoted_panel(Pan, off, p_arr)
+        if use_pallas and F.dtype == jnp.float32:
+            from .pallas_kernels import pallas_pivoted_panel, panel_fits_vmem
+            if panel_fits_vmem(R, T):
+                Pan, piv = pallas_pivoted_panel(Pan, off, p_arr)
+            else:
+                Pan, piv = _pivoted_panel(Pan, off, p_arr)
+        else:
+            Pan, piv = _pivoted_panel(Pan, off, p_arr)
         pperm = _seq_to_perm(piv, R)
         # permute the panel rows' other columns, then write the factored
         # panel into place
@@ -537,7 +550,8 @@ def _partial_factor_body(F, P: int, p_arr):
     return FP, F[:, P:, :P], S, perm_total
 
 
-_partial_factor = jax.jit(_partial_factor_body, static_argnames=("P",))
+_partial_factor = jax.jit(_partial_factor_body,
+                          static_argnames=("P", "use_pallas"))
 
 
 def _fwd_round(W, FP, L21, perm, cells_own, cells_bor):
@@ -617,11 +631,25 @@ class JaxMultifrontal:
                 jax.config.update("jax_compilation_cache_dir", cache)
         except Exception:
             pass
+        # Pallas panel kernel: TPU only (Mosaic), unsharded only (GSPMD
+        # cannot partition a custom call), float32 fronts only
+        self._use_pallas = (jax.default_backend() == "tpu"
+                            and mesh is None and self.prec == jnp.float32)
         with timed("build round plans"):
             self.plans = build_plan(sym, matrix)
         self.flat_len = sym.flat_len
         self._consts = self._device_constants()
         self._solve_jit = {}
+        # The numeric phase CAN run as one fused program (_factor_body
+        # under a single jit) — measured at gx3 it gains nothing over the
+        # chunked dispatch (1.46s vs 1.45s steady: the time is device
+        # execution, not dispatch latency) while the monolithic compile
+        # costs ~5 minutes and caches per problem size instead of per
+        # shape bucket. Keep the per-chunk dispatch: bucketed kernels are
+        # shared across chunks AND problem sizes, and eager Schur frees
+        # bound peak memory exactly (the gx3deep single-chip constraint).
+        self._fuse_factor = False
+        self._factor_jit = None
         self._factorize(matrix)
 
     def _put(self, arr, batch: int | None):
@@ -677,6 +705,51 @@ class JaxMultifrontal:
         # new one builds doubles peak memory — exactly the refactor-path
         # OOM at gx3deep scale (factors alone are ~40% of HBM there)
         self.factors = None
+        # Mosaic's jaxpr lowering is recursive per op; tracing the Pallas
+        # panel kernel from an already-deep Python stack (driver -> facade
+        # -> engine -> jit trace) can trip the default 1000-frame limit
+        import sys
+        old_limit = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(old_limit, 20000))
+        try:
+            self._factor_dispatch(matrix)
+        finally:
+            sys.setrecursionlimit(old_limit)
+
+    def _factor_body(self, nzval_ext, consts):
+        """The whole numeric factorization as one traceable function:
+        per-chunk assembly, extend-add, partial factor, in dependency
+        order. Called either chunk-at-a-time (legacy, one dispatch per
+        kernel) or — the default — inside ONE jit so the entire numeric
+        phase is a single device program: per-dispatch latency on a
+        remote-tunneled TPU otherwise dominates the steady-state
+        refactorization (measured 2.1s of ~40 dispatches vs ~0.15s of
+        device compute at gx3)."""
+        factors = []
+        schur: list = [None] * len(self.plans)
+        uses = [0] * len(self.plans)
+        for plan in self.plans:
+            for g in plan.child_groups:
+                uses[g.src_round] += 1
+        for rnd, plan in enumerate(self.plans):
+            cc = consts[rnd]
+            F = _assemble(nzval_ext, cc["a_pos"], cc["a_src"],
+                          cc["p_arr"], N=plan.N, P=plan.P)
+            for gi, g in enumerate(plan.child_groups):
+                src_rnd = g.src_round      # static (plan), never traced
+                _, ss, ds, inv = cc["groups"][gi]
+                F = _extend_add(F, schur[src_rnd], ss, ds, inv)
+                uses[src_rnd] -= 1
+                if uses[src_rnd] == 0:
+                    schur[src_rnd] = None
+            FP, L21, S, perm = _partial_factor(
+                F, P=plan.P, p_arr=cc["p_arr"],
+                use_pallas=self._use_pallas)
+            factors.append((FP, L21, perm))
+            schur[rnd] = S
+        return tuple(factors)
+
+    def _factor_dispatch(self, matrix: SparseMatrix) -> None:
         # sentinel zero at the end: padded a_src entries contribute nothing
         nz = np.zeros(len(matrix.nzval) + 1, dtype=self.prec)
         nz[:-1] = matrix.nzval
@@ -687,27 +760,22 @@ class JaxMultifrontal:
         # process-globally — the GEMM call sites also pass HIGHEST
         # explicitly.
         with timed("factor dispatch"), jax.default_matmul_precision("highest"):
-            factors = []
-            schur: list = [None] * len(self.plans)
-            uses = [0] * len(self.plans)
-            for plan in self.plans:
-                for g in plan.child_groups:
-                    uses[g.src_round] += 1
-            for rnd, plan in enumerate(self.plans):
-                cc = self._consts[rnd]
-                F = _assemble(nzval_ext, cc["a_pos"], cc["a_src"],
-                              cc["p_arr"], N=plan.N, P=plan.P)
-                for src_rnd, ss, ds, inv in cc["groups"]:
-                    F = _extend_add(F, schur[src_rnd], ss, ds, inv)
-                    uses[src_rnd] -= 1
-                    if uses[src_rnd] == 0:
-                        schur[src_rnd] = None
-                FP, L21, S, perm = _partial_factor(F, P=plan.P,
-                                                   p_arr=cc["p_arr"])
-                factors.append((FP, L21, perm))
-                schur[rnd] = S
-            self.factors = tuple(factors)
+            if self._fuse_factor:
+                if self._factor_jit is None:
+                    self._factor_jit = jax.jit(self._factor_body)
+                self.factors = self._factor_jit(nzval_ext, self._consts)
+            else:
+                self.factors = self._factor_body(nzval_ext, self._consts)
             jax.block_until_ready(self.factors)
+            # force materialization: some backends (remote-tunneled TPU)
+            # treat block_until_ready as a no-op and defer compile+execute
+            # until a device-to-host read — without this probe the factor
+            # phase would be mis-attributed to the first solve. One fused
+            # program + one tiny D2H forces the whole factor graph.
+            probe = jax.jit(lambda fs: jnp.stack(
+                [a.ravel()[0].astype(jnp.float32)
+                 for f in fs for a in f if a.size]).sum())
+            float(probe(self.factors))
 
     def refactor(self, matrix: SparseMatrix) -> None:
         """New numeric values, same pattern (Newton-iteration reuse)."""

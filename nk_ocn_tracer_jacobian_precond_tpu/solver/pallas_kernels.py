@@ -1,0 +1,146 @@
+"""Pallas TPU kernels for the multifrontal numeric phase.
+
+The batched pivoted panel factorization is the one sequential part of the
+blocked LU (solver/mf_jax.py::_pivoted_panel): T ~ 128 dependent column
+steps, each a pivot search + row swap + rank-1 update of the (B, R, T)
+panel. Expressed as a `lax.fori_loop` over XLA ops, every step
+round-trips the whole batched panel through HBM; as a Pallas kernel the
+panel of ONE front lives in VMEM across all T steps — HBM sees exactly
+one read and one write of each panel, and the per-column work runs at
+VPU speed from on-chip memory.
+
+This is the TPU analog of the panel kernel inside SuperLU_DIST's pdgstrf
+(dgstrf2, reference SuperLU_brief_tree.txt:12-14, reached via pdgssvx,
+solve_ABdist.c:518): per-panel partial pivoting, restricted — as the
+multifrontal structure requires — to fully-summed rows.
+
+Kernel style notes: every access is a full-block vector op. Dynamic
+row/column selection (the pivot row, column k) is done with masked
+reductions and `jnp.where` against iota grids instead of dynamic
+lane/sublane indexing, which Mosaic lowers poorly. Grid: one program per
+front (batch element); Pallas double-buffers the per-front panel DMA
+across grid steps. VMEM footprint is the (R, T) panel twice (in + out
+block) — R <= 8192, T <= 128 keeps it under ~8.5 MB of the ~16 MB
+budget. Callers fall back to the XLA formulation on non-TPU backends,
+for panels too tall for VMEM, and under GSPMD sharding (a pallas_call is
+a custom call the partitioner cannot split).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM budget for the panel block. 8192 * 128 * 4 B = 4 MB per buffer.
+_MAX_R = 8192
+
+
+def _panel_body(limit, pan_ref, piv_ref, *, T: int):
+    """Factor one (R, T) panel in place; record pivot rows in piv_ref.
+
+    limit: number of panel rows eligible for pivoting (fully-summed rows
+    below the already-eliminated offset). Rows at/beyond `limit` are
+    identity padding or border rows and must never be chosen — except
+    that column k may always pivot on its own diagonal (the identity
+    padding guarantees a unit pivot there).
+    """
+    R = pan_ref.shape[0]
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    c_idx = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    # every literal is explicitly 32-bit: under jax_enable_x64 a Python
+    # scalar becomes an f64[]/i64[] constant plus a scalar down-convert,
+    # and Mosaic's convert lowering recurses without terminating on those
+    f0 = jnp.float32(0.0)
+    neg1 = jnp.float32(-1.0)
+    Ri = jnp.int32(R)
+
+    def step(k, _):
+        P = pan_ref[:, :]
+        colk = jnp.sum(jnp.where(c_idx == k, P, f0), axis=1,
+                       keepdims=True)                        # (R, 1)
+        ok = (r_idx >= k) & ((r_idx < limit) | (r_idx == k))
+        score = jnp.where(ok, jnp.abs(colk), neg1)
+        # first-max row in pure int32 (argmax would produce an int64
+        # intermediate under x64 — see dtype note above)
+        sel = jnp.min(jnp.where(score == jnp.max(score), r_idx, Ri))
+        piv_ref[:, :] = jnp.where(c_idx == k, sel, piv_ref[:, :])
+        # swap rows k and sel (masked writes; sel == k is a no-op)
+        rowk = jnp.sum(jnp.where(r_idx == k, P, f0), axis=0,
+                       keepdims=True)                        # (1, T)
+        rowsel = jnp.sum(jnp.where(r_idx == sel, P, f0), axis=0,
+                         keepdims=True)
+        P = jnp.where(r_idx == k, rowsel, P)
+        P = jnp.where((r_idx == sel) & (sel != k), rowk, P)
+        # pivot value and the swapped column k
+        pv = jnp.sum(jnp.where(c_idx == k, rowsel, f0))
+        colv = jnp.sum(jnp.where(c_idx == k, P, f0), axis=1,
+                       keepdims=True)
+        colv = jnp.where(r_idx > k, colv / pv, f0)           # L multipliers
+        rowv = jnp.where(c_idx > k, rowsel, f0)              # U row
+        P = P - colv * rowv
+        P = jnp.where((c_idx == k) & (r_idx > k), colv, P)
+        pan_ref[:, :] = P
+        return _
+
+    # int32-typed bounds keep the induction variable int32 even under
+    # jax_enable_x64: ANY in-kernel int64 (including a scalar int64->int32
+    # convert) sends Mosaic's conversion lowering into infinite recursion
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), step, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("off", "interpret"))
+def pallas_pivoted_panel(Pan, off: int, p_arr, interpret: bool = False):
+    """Batched restricted-pivot panel LU — Pallas version of
+    mf_jax._pivoted_panel. Pan (B, R, T) float32; p_arr (B,) true
+    eliminated counts. Returns (factored panel, piv (B, T) panel-relative
+    pivot choices), bit-identical semantics to the XLA formulation."""
+    B, R, T = Pan.shape
+    # None squeezes the grid dim out of the in-kernel refs (a literal
+    # `.at[0]` sub-ref index lowers as i64 under jax_enable_x64, which
+    # Mosaic's 32-bit memref_slice rejects)
+    pan_spec = pl.BlockSpec((None, R, T), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    # pivot choices come back as an (8, T) tile per front (Mosaic needs
+    # sublane-aligned blocks); row 0 is the data, the copies are discarded
+    piv_spec = pl.BlockSpec((None, 8, T), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    p_spec = pl.BlockSpec(memory_space=pltpu.SMEM)   # whole (B,) in SMEM
+
+    def kernel(p_ref, pan_in, pan_out, piv_ref):
+        pan_out[:, :] = pan_in[:, :]
+        piv_ref[:, :] = jnp.zeros((8, T), jnp.int32)
+        _panel_body(p_ref[pl.program_id(0)] - jnp.int32(off),
+                    pan_out, piv_ref, T=T)
+
+    # trace the kernel with x64 OFF regardless of the session setting:
+    # stray f64/i64 scalars (Python literals, loop indices) send Mosaic's
+    # convert/memref lowering into recursion or legalization failures, and
+    # nothing in this kernel needs 64-bit. The operands are 32-bit either
+    # way, so the context only affects literals created inside the trace.
+    with jax.enable_x64(False):
+        out, piv = pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[p_spec, pan_spec],
+            out_specs=(pan_spec, piv_spec),
+            out_shape=(jax.ShapeDtypeStruct((B, R, T), Pan.dtype),
+                       jax.ShapeDtypeStruct((B, 8, T), jnp.int32)),
+            interpret=interpret,
+            # in+out panel blocks are double-buffered across grid steps:
+            # 4 x (R*T*4) bytes; the default 16 MB scoped limit trips just
+            # above R ~ 8k panels
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * R * T * T, transcendentals=0,
+                bytes_accessed=2 * B * R * T * 4),
+        )(p_arr.astype(jnp.int32), Pan)
+    return out, piv[:, 0, :]
+
+
+def panel_fits_vmem(R: int, T: int) -> bool:
+    return R * T <= _MAX_R * 128

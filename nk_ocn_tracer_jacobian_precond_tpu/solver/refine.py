@@ -107,8 +107,8 @@ class DeviceRefiner:
     """
 
     def __init__(self, engine, matrix, dr=None, dc=None,
-                 tol: float = 1e-12, m: int = 16, max_cycles: int = 10,
-                 precond_host=None):
+                 tol: float = 1e-12, m: int = 16, m_start: int = 4,
+                 max_cycles: int = 10, precond_host=None):
         if not jax.config.jax_enable_x64:
             raise RuntimeError("DeviceRefiner needs jax_enable_x64 "
                                "(float64 residual accumulation)")
@@ -116,7 +116,14 @@ class DeviceRefiner:
         self.A = matrix.to_scipy()
         self.precond_host = precond_host
         self.tol = tol
+        # adaptive inner depth: each f32 cycle's contraction is limited by
+        # the preconditioned rounding floor, not by Krylov dimension —
+        # measured at gx3, m=4 contracts the same ~3 digits per cycle as
+        # m=32 at a fraction of the device work. Start small, double (up
+        # to the cap `m`) when a cycle gains under ~1.5 digits; the tier
+        # is memoized across solves of the same factorization.
         self.m = m
+        self._m = min(m_start, m)
         self.max_cycles = max_cycles
         n = matrix.flat_len
         self.n = n
@@ -283,12 +290,27 @@ class DeviceRefiner:
                         # SuperLU's own refined residual sits here too)
                         dbg(1, "refine: converged to the attainable floor")
                         break
-                    # the float32 inner correction stalled far from the
-                    # target: escalate the Krylov working precision to
-                    # (emulated) float64 — the factor stays float32
-                    phase = "gmres64"
-                    self._phase = "gmres64"
-                    dbg(1, "refine: escalating inner cycle to float64")
+                    if self._m < self.m:
+                        # stalled with a shallow Krylov space: deepen it
+                        # before paying for emulated-f64 arithmetic
+                        self._m = min(2 * self._m, self.m)
+                        dbg(1, f"refine: deepening inner cycle to "
+                               f"m={self._m}")
+                    else:
+                        # the float32 inner correction stalled far from
+                        # the target even at full depth: escalate the
+                        # Krylov working precision to (emulated) float64
+                        # — the factor stays float32
+                        phase = "gmres64"
+                        self._phase = "gmres64"
+                        dbg(1, "refine: escalating inner cycle to float64")
+                elif (phase == "gmres" and rel > 3e-2 * prev
+                      and self._m < self.m):
+                    # progressing but gaining under ~1.5 digits per cycle:
+                    # a deeper space contracts more per (latency-dominated)
+                    # round trip
+                    self._m = min(2 * self._m, self.m)
+                    dbg(1, f"refine: deepening inner cycle to m={self._m}")
                 elif phase == "gmres64":
                     stall = stall + 1 if rel > 0.7 * prev else 0
                     if stall >= 2:
@@ -301,10 +323,11 @@ class DeviceRefiner:
                 else:
                     dt = np.float32 if phase == "gmres" else np.float64
                     jdt = jnp.float32 if phase == "gmres" else jnp.float64
-                    key = (self.m, padn, phase)
+                    m_cur = self._m if phase == "gmres" else self.m
+                    key = (m_cur, padn, phase)
                     if key not in self._cycle_jit:
                         self._cycle_jit[key] = self._make_cycle(
-                            self.m, padn, dtype=jdt)
+                            m_cur, padn, dtype=jdt)
                     d = self._cycle_jit[key](
                         put(R.astype(dt), None), self._env(jdt))
                     X = X + np.asarray(d, dtype=np.float64)
