@@ -53,6 +53,18 @@ def _round_up(x: int, m: int) -> int:
     return max(m, (x + m - 1) // m * m)
 
 
+_ARANGE = np.empty(0, dtype=np.int64)
+
+
+def _ar(n: int) -> np.ndarray:
+    """Cached arange — build_plan asks for one per front per round, and
+    at 1-degree scale the per-call allocations dominated the plan time."""
+    global _ARANGE
+    if len(_ARANGE) < n:
+        _ARANGE = np.arange(max(n, 2 * len(_ARANGE)), dtype=np.int64)
+    return _ARANGE[:n]
+
+
 def _pad_batch(b: int) -> int:
     """Pad a round's batch count: powers of two up to 128, multiples of
     128 above (the dummy identity fronts are cheap individually, but a
@@ -207,8 +219,8 @@ def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
             if n > p:
                 cells_bor[b, :n - p] = f.cells[p:]
             # padded front position per cell, via flat scratch gather
-            cell_fpos[f.cells[:p]] = np.arange(p)
-            cell_fpos[f.cells[p:]] = P + np.arange(n - p)
+            cell_fpos[f.cells[:p]] = _ar(p)
+            cell_fpos[f.cells[p:]] = P + _ar(n - p)
 
             ent = order[bounds[nid]:bounds[nid + 1]]
             if len(ent):
@@ -219,11 +231,11 @@ def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
             for ch in f.children:
                 cf = sym.fronts[ch]
                 src_rnd, src_slot = slot_of_node[ch]
-                M_src = plans[src_rnd].M
-                inv = np.full(N, M_src, dtype=np.int32)
+                # capture the parent-front positions NOW (cell_fpos is
+                # overwritten by later fronts sharing border cells); the
+                # (L, N) inv matrices are built batched per group below
                 q = cell_fpos[cf.cells[cf.p:]]
-                inv[q] = np.arange(cf.n - cf.p)
-                links.append((src_rnd, src_slot, b, inv))
+                links.append((src_rnd, src_slot, b, q))
         # per-front entry lists padded to a rectangle: pad positions point
         # one past the front (dropped by the scatter), pad sources point at
         # the sentinel zero appended to nzval
@@ -236,11 +248,22 @@ def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
         groups: list[ChildGroup] = []
         for src_rnd in sorted({l[0] for l in links}):
             sel = [l for l in links if l[0] == src_rnd]
+            M_src = plans[src_rnd].M
+            L = len(sel)
+            qs = [l[3] for l in sel]
+            lens = np.array([len(q) for q in qs], dtype=np.int64)
+            inv = np.full((L, N), M_src, dtype=np.int32)
+            if lens.sum():
+                rowidx = np.repeat(_ar(L), lens)
+                qcat = np.concatenate(qs)
+                total = int(lens.sum())
+                offs = _ar(total) - np.repeat(np.cumsum(lens) - lens, lens)
+                inv[rowidx, qcat] = offs.astype(np.int32)
             groups.append(ChildGroup(
                 src_round=src_rnd,
                 src_slots=np.array([l[1] for l in sel], dtype=np.int32),
                 dst_slots=np.array([l[2] for l in sel], dtype=np.int32),
-                inv=np.stack([l[3] for l in sel])))
+                inv=inv))
         plans.append(RoundPlan(
             node_ids=list(node_ids), B=B, P=P, N=N, M=M,
             a_pos=a_pos, a_src=a_src, p_arr=p_arr,

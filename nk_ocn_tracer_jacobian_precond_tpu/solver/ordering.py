@@ -104,26 +104,27 @@ def build_column_graph(maps: IndexMaps, matrix: SparseMatrix) -> ColumnGraph:
     col_j = jj[cell_start]
     col_i = ii[cell_start]
 
-    # column-column adjacency from the CSR pattern
-    rows = np.repeat(np.arange(matrix.flat_len), np.diff(matrix.rowptr))
-    rc = col_of_cell[rows % tsl].astype(np.int64)
-    cc = col_of_cell[matrix.colind % tsl].astype(np.int64)
+    # column-column adjacency from the CSR pattern. Dedup + symmetrize via
+    # scipy's COO->CSR machinery (C-speed bucketing) rather than an
+    # np.unique over nnz encoded int64 pairs — the pair sort was the
+    # dominant symbolic-phase cost at 1-degree scale (53M nnz).
+    from scipy.sparse import coo_matrix
+    rowlen = np.diff(matrix.rowptr)
+    row_cols = (col_of_cell if nt == 1
+                else np.tile(col_of_cell, nt))   # column id per matrix row
+    rc = np.repeat(row_cols, rowlen)
+    cc = row_cols[matrix.colind]
     mask = rc != cc
-    pairs = np.unique(rc[mask] * ncols + cc[mask])
-    pr = (pairs // ncols).astype(np.int64)
-    pc = (pairs % ncols).astype(np.int64)
+    adj = coo_matrix((np.ones(int(mask.sum()), dtype=np.int8),
+                      (rc[mask], cc[mask])), shape=(ncols, ncols)).tocsr()
+    adj.data.fill(1)   # int8 duplicate sums may wrap; only the pattern matters
     # symmetrize (factorization treats the pattern symmetrically)
-    pr2 = np.concatenate([pr, pc])
-    pc2 = np.concatenate([pc, pr])
-    pairs = np.unique(pr2 * ncols + pc2)
-    pr = (pairs // ncols).astype(np.int64)
-    pc = (pairs % ncols).astype(np.int64)
-    indptr = np.zeros(ncols + 1, dtype=np.int64)
-    np.add.at(indptr, pr + 1, 1)
-    indptr = np.cumsum(indptr)
+    adj = adj + adj.T
+    adj.sort_indices()
     return ColumnGraph(ncols=ncols, col_j=col_j, col_i=col_i, depth=depth,
                        cell_start=cell_start, nt=nt, tsl=tsl,
-                       adj_indptr=indptr, adj_indices=pc,
+                       adj_indptr=adj.indptr.astype(np.int64),
+                       adj_indices=adj.indices.astype(np.int64),
                        col_of_cell=col_of_cell)
 
 
