@@ -1,0 +1,122 @@
+"""Plan-level memory accounting (host side, exact to the padded shapes).
+
+The reference's distributed mode exists because the factors outgrow one
+node's memory (src/solve_ABdist.c:106-244 block-row-distributes the
+matrix; SuperLU_DIST distributes L/U over the process grid). The TPU
+rebuild's equivalent question — "how many chips does this problem need?"
+— is answerable *before* factorization, because the round plans fix every
+padded shape. This module walks a plan and reports:
+
+  * resident factor bytes per round (FP (B,P,N) + L21 (B,M,P) + perm),
+  * the Schur-complement live set over the round schedule (a round's
+    (B,M,M) stack stays allocated until its last consuming round), and
+  * the per-round transient peak (the full (B,N,N) front stack plus the
+    bounded extend-add temporaries),
+
+each split replicated-vs-sharded for an n_devices mesh (rounds whose
+batch divides the mesh shard over it; tree-top rounds stay replicated —
+mirroring JaxMultifrontal._put).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass
+class MemoryPlan:
+    n_devices: int
+    bytes_per_elem: int
+    factor_bytes_total: int       # all rounds' FP+L21+perm
+    factor_bytes_per_device: int  # with sharded rounds divided by n_devices
+    schur_peak_bytes: int         # max live Schur set (total, un-sharded)
+    schur_peak_per_device: int
+    transient_peak_bytes: int     # largest single-round working set (total)
+    transient_peak_per_device: int
+    rounds: list[dict]            # per-round breakdown
+
+    @property
+    def peak_per_device(self) -> int:
+        """Factor-resident + worst-round (Schur live + transients)."""
+        return self.factor_bytes_per_device + max(
+            (r["schur_live_dev"] + r["transient_dev"] for r in self.rounds),
+            default=0)
+
+    def summary(self) -> str:
+        gb = 1 / 2 ** 30
+        return (f"factors {self.factor_bytes_total * gb:.2f} GB total / "
+                f"{self.factor_bytes_per_device * gb:.2f} GB/device; "
+                f"peak {self.peak_per_device * gb:.2f} GB/device "
+                f"on {self.n_devices} device(s)")
+
+
+def plan_memory(plans, n_devices: int = 1,
+                bytes_per_elem: int = 4) -> MemoryPlan:
+    """Exact padded-shape memory walk of a build_plan() output."""
+    e = bytes_per_elem
+
+    def shard(nbytes: int, B: int) -> int:
+        if n_devices > 1 and B % n_devices == 0:
+            return nbytes // n_devices
+        return nbytes
+
+    # last consumer of each round's Schur stack
+    last_use = {}
+    for rnd, plan in enumerate(plans):
+        for g in plan.child_groups:
+            last_use[g.src_round] = rnd
+
+    rounds = []
+    fac_tot = 0
+    fac_dev = 0
+    live: dict[int, tuple[int, int]] = {}   # rnd -> (bytes, dev_bytes)
+    schur_peak = schur_peak_dev = 0
+    trans_peak = trans_peak_dev = 0
+    for rnd, plan in enumerate(plans):
+        B, P, N, M = plan.B, plan.P, plan.N, plan.M
+        fp = B * P * N * e
+        l21 = B * M * P * e
+        perm = B * P * 4
+        f_bytes = fp + l21 + perm
+        fac_tot += f_bytes
+        fac_dev += shard(f_bytes, B)
+        # transient working set of this round: the full (B,N,N) front
+        # stack, the assembly index arrays, and the bounded extend-add
+        # temporaries (~1 GB, see _extend_add's chunking)
+        a_idx = (plan.a_pos.size * plan.a_pos.itemsize
+                 + plan.a_src.size * plan.a_src.itemsize)
+        trans = B * N * N * e + a_idx + int(1e9 if plan.child_groups else 0)
+        trans_dev = shard(B * N * N * e, B) + a_idx + \
+            int(1e9 if plan.child_groups else 0)
+        # Schur stack this round produces
+        s_bytes = B * M * M * e
+        live[rnd] = (s_bytes, shard(s_bytes, B))
+        # the live set DURING the round still includes the source stacks
+        # being consumed by the extend-add
+        s_during = sum(v[0] for v in live.values())
+        s_during_dev = sum(v[1] for v in live.values())
+        trans += s_during - s_bytes
+        trans_dev += s_during_dev - shard(s_bytes, B)
+        # free the stacks whose last consumer is this round
+        for src, lr in list(last_use.items()):
+            if lr == rnd:
+                live.pop(src, None)
+                del last_use[src]
+        s_live = sum(v[0] for v in live.values())
+        s_live_dev = sum(v[1] for v in live.values())
+        schur_peak = max(schur_peak, s_live)
+        schur_peak_dev = max(schur_peak_dev, s_live_dev)
+        trans_peak = max(trans_peak, trans)
+        trans_peak_dev = max(trans_peak_dev, trans_dev)
+        rounds.append(dict(round=rnd, B=B, P=P, N=N, factor=f_bytes,
+                           factor_dev=shard(f_bytes, B),
+                           schur_live=s_live, schur_live_dev=s_live_dev,
+                           transient=trans, transient_dev=trans_dev))
+    return MemoryPlan(n_devices=n_devices, bytes_per_elem=e,
+                      factor_bytes_total=fac_tot,
+                      factor_bytes_per_device=fac_dev,
+                      schur_peak_bytes=schur_peak,
+                      schur_peak_per_device=schur_peak_dev,
+                      transient_peak_bytes=trans_peak,
+                      transient_peak_per_device=trans_peak_dev,
+                      rounds=rounds)

@@ -147,21 +147,26 @@ def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
         # per-cell elimination position: order within the permutation
     cell_elim[sym.perm] = np.arange(flat_len)
 
-    # --- route every CSR entry to its assembly front ----------------------
-    rows = np.repeat(np.arange(flat_len, dtype=np.int64), np.diff(csr_rowptr))
-    cols = csr_colind
-    from ..native import route_entries
-    entry_node = route_entries(csr_rowptr, csr_colind, cell_node, cell_elim)
-    if entry_node is None:
-        col_first = cell_elim[cols] <= cell_elim[rows]
-        entry_node = np.where(col_first, cell_node[cols], cell_node[rows])
-    entry_src = np.arange(nnz, dtype=np.int64)
-
-    # group entries by front
-    order = np.argsort(entry_node, kind="stable")
-    sorted_nodes = entry_node[order]
-    bounds = np.searchsorted(sorted_nodes,
-                             np.arange(len(sym.fronts) + 1))
+    # --- route every CSR entry to its assembly front, grouped per front.
+    # Native path: one fused C routing + counting sort (plan_entries);
+    # fallback: the same grouping via numpy argsort.
+    from ..native import plan_entries
+    pe = plan_entries(csr_rowptr, csr_colind, cell_node, cell_elim,
+                      len(sym.fronts))
+    if pe is not None:
+        ent_row, ent_col, ent_src, bounds = pe
+    else:
+        rows = np.repeat(np.arange(flat_len, dtype=np.int64),
+                         np.diff(csr_rowptr))
+        col_first = cell_elim[csr_colind] <= cell_elim[rows]
+        entry_node = np.where(col_first, cell_node[csr_colind],
+                              cell_node[rows])
+        order = np.argsort(entry_node, kind="stable")
+        bounds = np.searchsorted(entry_node[order],
+                                 np.arange(len(sym.fronts) + 1))
+        ent_row = rows[order].astype(np.int32)
+        ent_col = csr_colind[order].astype(np.int32)
+        ent_src = order.astype(np.int32)
 
     # split each dependency round into memory-bounded, size-homogeneous
     # chunks: fronts sorted by size so each chunk's padding is tight, and
@@ -191,8 +196,10 @@ def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
     plans: list[RoundPlan] = []
     slot_of_node: dict[int, tuple[int, int]] = {}
     # flat scratch of padded front positions per cell: one write + gathers
-    # per front instead of argsort+searchsorted (gx1-scale hot spot)
-    cell_fpos = np.empty(flat_len, dtype=np.int64)
+    # per front instead of argsort+searchsorted (gx1-scale hot spot).
+    # int32: positions < padded max front (~2^15), and the narrower
+    # gathers halve traffic on this bandwidth-starved host
+    cell_fpos = np.empty(flat_len, dtype=np.int32)
     for rnd, node_ids in enumerate(chunked_rounds):
         B_real = len(node_ids)
         # pad the batch as well: dummy identity fronts cost almost nothing
@@ -204,8 +211,8 @@ def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
         P = _pad_dim(maxp)
         M = _pad_dim(maxm) if maxm > 0 else 0
         N = P + M
-        pos_l: list[np.ndarray] = [np.empty(0, np.int64)] * B
-        src_l: list[np.ndarray] = [np.empty(0, np.int64)] * B
+        pos_l: list[np.ndarray] = [np.empty(0, np.int32)] * B
+        src_l: list[np.ndarray] = [np.empty(0, np.int32)] * B
         cells_own = np.full((B, P), flat_len, dtype=np.int64)
         cells_bor = np.full((B, M), flat_len, dtype=np.int64)
         p_arr = np.zeros(B, dtype=np.int32)
@@ -222,12 +229,13 @@ def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
             cell_fpos[f.cells[:p]] = _ar(p)
             cell_fpos[f.cells[p:]] = P + _ar(n - p)
 
-            ent = order[bounds[nid]:bounds[nid + 1]]
-            if len(ent):
-                rp = cell_fpos[rows[ent]]
-                cp = cell_fpos[cols[ent]]
-                pos_l[b] = rp * N + cp
-                src_l[b] = entry_src[ent]
+            s0, s1 = bounds[nid], bounds[nid + 1]
+            if s1 > s0:
+                rp = cell_fpos[ent_row[s0:s1]]
+                cp = cell_fpos[ent_col[s0:s1]]
+                # int32 arithmetic: rp*N+cp < padded_N^2 <= ~5e8 < 2^31
+                pos_l[b] = rp * np.int32(N) + cp
+                src_l[b] = ent_src[s0:s1]
             for ch in f.children:
                 cf = sym.fronts[ch]
                 src_rnd, src_slot = slot_of_node[ch]
@@ -241,7 +249,7 @@ def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
         # the sentinel zero appended to nzval
         E = max((len(x) for x in pos_l), default=0)
         a_pos = np.full((B, max(E, 1)), N * N, dtype=np.int32)
-        a_src = np.full((B, max(E, 1)), nnz, dtype=np.int64)
+        a_src = np.full((B, max(E, 1)), nnz, dtype=np.int32)
         for b in range(B):
             a_pos[b, :len(pos_l[b])] = pos_l[b]
             a_src[b, :len(src_l[b])] = src_l[b]
@@ -660,6 +668,12 @@ class JaxMultifrontal:
                             and mesh is None and self.prec == jnp.float32)
         with timed("build round plans"):
             self.plans = build_plan(sym, matrix)
+        from .memplan import plan_memory
+        ndev = (self.mesh.shape[self.mesh_axis]
+                if self.mesh is not None else 1)
+        dbg(1, "memory plan: " + plan_memory(
+            self.plans, ndev,
+            np.dtype(self.prec).itemsize).summary())
         self.flat_len = sym.flat_len
         self._consts = self._device_constants()
         self._solve_jit = {}

@@ -104,19 +104,26 @@ def build_column_graph(maps: IndexMaps, matrix: SparseMatrix) -> ColumnGraph:
     col_j = jj[cell_start]
     col_i = ii[cell_start]
 
-    # column-column adjacency from the CSR pattern. Dedup + symmetrize via
-    # scipy's COO->CSR machinery (C-speed bucketing) rather than an
-    # np.unique over nnz encoded int64 pairs — the pair sort was the
-    # dominant symbolic-phase cost at 1-degree scale (53M nnz).
+    # column-column adjacency from the CSR pattern. The native path is one
+    # C pass over colind (this host has ~0.25 GB/s memory bandwidth —
+    # numpy formulations need several full passes over nnz-sized
+    # temporaries and dominated the 1-degree symbolic phase); the fallback
+    # dedupes via scipy's COO->CSR bucketing.
     from scipy.sparse import coo_matrix
-    rowlen = np.diff(matrix.rowptr)
     row_cols = (col_of_cell if nt == 1
                 else np.tile(col_of_cell, nt))   # column id per matrix row
-    rc = np.repeat(row_cols, rowlen)
-    cc = row_cols[matrix.colind]
-    mask = rc != cc
-    adj = coo_matrix((np.ones(int(mask.sum()), dtype=np.int8),
-                      (rc[mask], cc[mask])), shape=(ncols, ncols)).tocsr()
+    from ..native import column_adjacency
+    pairs = column_adjacency(matrix.rowptr, matrix.colind, row_cols, ncols)
+    if pairs is not None:
+        rc, cc = pairs
+    else:
+        rowlen = np.diff(matrix.rowptr)
+        rc = np.repeat(row_cols, rowlen)
+        cc = row_cols[matrix.colind]
+        mask = rc != cc
+        rc, cc = rc[mask], cc[mask]
+    adj = coo_matrix((np.ones(len(rc), dtype=np.int8), (rc, cc)),
+                     shape=(ncols, ncols)).tocsr()
     adj.data.fill(1)   # int8 duplicate sums may wrap; only the pattern matters
     # symmetrize (factorization treats the pattern symmetrically)
     adj = adj + adj.T

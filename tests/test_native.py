@@ -58,3 +58,45 @@ def test_route_entries_matches_numpy():
     ref = np.where(cell_elim[cols] <= cell_elim[rows],
                    cell_node[cols], cell_node[rows])
     np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.skipif(native._load() is None, reason="no C++ toolchain")
+def test_plan_entries_matches_numpy():
+    rng = np.random.default_rng(2)
+    flat_len = 200
+    density = 8
+    cols = rng.integers(0, flat_len, flat_len * density)
+    rowptr = np.arange(0, flat_len * density + 1, density)
+    nfronts = 20
+    cell_node = rng.integers(0, nfronts, flat_len)
+    cell_elim = rng.permutation(flat_len)
+    ent_row, ent_col, ent_src, bounds = native.plan_entries(
+        rowptr, cols, cell_node, cell_elim, nfronts)
+    # numpy reference: route then stable counting sort by node
+    rows = np.repeat(np.arange(flat_len), density)
+    node = np.where(cell_elim[cols] <= cell_elim[rows],
+                    cell_node[cols], cell_node[rows])
+    order = np.argsort(node, kind="stable")
+    np.testing.assert_array_equal(
+        bounds, np.searchsorted(node[order], np.arange(nfronts + 1)))
+    np.testing.assert_array_equal(ent_row, rows[order])
+    np.testing.assert_array_equal(ent_col, cols[order])
+    np.testing.assert_array_equal(ent_src, order)
+
+
+@pytest.mark.skipif(native._load() is None, reason="no C++ toolchain")
+def test_column_adjacency_matches_numpy():
+    rng = np.random.default_rng(3)
+    flat_len = 300
+    density = 6
+    cols = rng.integers(0, flat_len, flat_len * density)
+    rowptr = np.arange(0, flat_len * density + 1, density)
+    ncols = 40
+    col_of_row = rng.integers(0, ncols, flat_len).astype(np.int32)
+    src, dst = native.column_adjacency(rowptr, cols, col_of_row, ncols)
+    got = set(zip(src.tolist(), dst.tolist()))
+    rows = np.repeat(np.arange(flat_len), density)
+    rc = col_of_row[rows]
+    cc = col_of_row[cols]
+    want = {(int(a), int(b)) for a, b in zip(rc, cc) if a != b}
+    assert got == want
