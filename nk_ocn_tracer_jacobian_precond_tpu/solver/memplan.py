@@ -50,13 +50,30 @@ class MemoryPlan:
                 f"on {self.n_devices} device(s)")
 
 
-def plan_memory(plans, n_devices: int = 1,
-                bytes_per_elem: int = 4) -> MemoryPlan:
-    """Exact padded-shape memory walk of a build_plan() output."""
+def plan_memory(plans, n_devices: int = 1, bytes_per_elem: int = 4,
+                row_shard_min: int = 1024) -> MemoryPlan:
+    """Exact padded-shape memory walk of a build_plan() output.
+
+    Mirrors JaxMultifrontal's placement rules: batch-sharded rounds
+    (B divides the mesh) divide everything by n_devices; small-batch
+    big-front rounds (N >= row_shard_min, N divisible) divide their
+    RESIDENT factor arrays by n_devices (front-axis sharding,
+    _shard_factors) while their transients stay replicated."""
     e = bytes_per_elem
 
     def shard(nbytes: int, B: int) -> int:
         if n_devices > 1 and B % n_devices == 0:
+            return nbytes // n_devices
+        return nbytes
+
+    def shard_dim(nbytes: int, B: int, dim: int, qualifies: bool) -> int:
+        """Resident-factor sharding: batch if it divides, else the given
+        front axis when the round qualifies for row sharding."""
+        if n_devices <= 1:
+            return nbytes
+        if B % n_devices == 0:
+            return nbytes // n_devices
+        if qualifies and dim % n_devices == 0 and dim > 0:
             return nbytes // n_devices
         return nbytes
 
@@ -79,7 +96,10 @@ def plan_memory(plans, n_devices: int = 1,
         perm = B * P * 4
         f_bytes = fp + l21 + perm
         fac_tot += f_bytes
-        fac_dev += shard(f_bytes, B)
+        q = N >= row_shard_min and N % max(n_devices, 1) == 0
+        f_dev = (shard_dim(fp, B, N, q) + shard_dim(l21, B, M, q)
+                 + shard(perm, B))
+        fac_dev += f_dev
         # transient working set of this round: the full (B,N,N) front
         # stack, the assembly index arrays, and the bounded extend-add
         # temporaries (~1 GB, see _extend_add's chunking)
@@ -88,9 +108,10 @@ def plan_memory(plans, n_devices: int = 1,
         trans = B * N * N * e + a_idx + int(1e9 if plan.child_groups else 0)
         trans_dev = shard(B * N * N * e, B) + a_idx + \
             int(1e9 if plan.child_groups else 0)
-        # Schur stack this round produces
+        # Schur stack this round produces (row-sharded rounds shard it
+        # on the trailing axis, _shard_schur)
         s_bytes = B * M * M * e
-        live[rnd] = (s_bytes, shard(s_bytes, B))
+        live[rnd] = (s_bytes, shard_dim(s_bytes, B, M, q))
         # the live set DURING the round still includes the source stacks
         # being consumed by the extend-add
         s_during = sum(v[0] for v in live.values())
@@ -109,7 +130,7 @@ def plan_memory(plans, n_devices: int = 1,
         trans_peak = max(trans_peak, trans)
         trans_peak_dev = max(trans_peak_dev, trans_dev)
         rounds.append(dict(round=rnd, B=B, P=P, N=N, factor=f_bytes,
-                           factor_dev=shard(f_bytes, B),
+                           factor_dev=f_dev,
                            schur_live=s_live, schur_live_dev=s_live_dev,
                            transient=trans, transient_dev=trans_dev))
     return MemoryPlan(n_devices=n_devices, bytes_per_elem=e,

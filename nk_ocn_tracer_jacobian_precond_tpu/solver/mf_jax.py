@@ -65,17 +65,25 @@ def _ar(n: int) -> np.ndarray:
     return _ARANGE[:n]
 
 
-def _pad_batch(b: int) -> int:
+def _pad_batch(b: int, mult: int = 1) -> int:
     """Pad a round's batch count: powers of two up to 128, multiples of
     128 above (the dummy identity fronts are cheap individually, but a
     power-of-2 jump at large B nearly doubled round-1's transient front
-    memory)."""
+    memory). With ``mult`` = mesh size, rounds with at least ``mult``
+    real fronts additionally round up to a multiple of it so their batch
+    axis always shards (dummy fronts are cheap at that size). Smaller
+    rounds are NOT padded up — measured at 1-degree scale, padding a
+    1-2-front tree-top round to the mesh size just multiplies its
+    storage by the mesh size for zero per-device gain; those rounds get
+    their factor ARRAYS sharded along the front axes instead (see
+    JaxMultifrontal._shard_factors)."""
     if b >= 128:
-        return _round_up(b, 128)
-    p = 1
-    while p < b:
-        p *= 2
-    return p
+        p = _round_up(b, 128)
+    else:
+        p = 1
+        while p < b:
+            p *= 2
+    return _round_up(p, mult) if mult > 1 and b >= mult else p
 
 
 def _pad_dim(x: int) -> int:
@@ -122,7 +130,8 @@ class RoundPlan:
 
 def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
                mem_budget_bytes: float = 1.5e9,
-               bytes_per_elem: int = 4) -> list[RoundPlan]:
+               bytes_per_elem: int = 4,
+               batch_multiple: int = 1) -> list[RoundPlan]:
     """Compile the symbolic factorization into static per-round arrays.
 
     Depends only on the sparsity pattern; reusable across matrices with
@@ -183,7 +192,8 @@ def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
             p2 = max(maxp, f.p)
             m2 = max(maxm, f.n - f.p)
             n_pad = _pad_dim(p2) + (_pad_dim(m2) if m2 > 0 else 0)
-            cost = _pad_batch(len(chunk) + 1) * n_pad * n_pad * bytes_per_elem
+            cost = (_pad_batch(len(chunk) + 1, batch_multiple)
+                    * n_pad * n_pad * bytes_per_elem)
             if chunk and cost > mem_budget_bytes:
                 chunked_rounds.append(chunk)
                 chunk, maxp, maxm = [], 0, 0
@@ -205,7 +215,7 @@ def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
         # pad the batch as well: dummy identity fronts cost almost nothing
         # individually and make (B, P, N) shapes reusable across chunks
         # and problem sizes
-        B = _pad_batch(B_real)
+        B = _pad_batch(B_real, batch_multiple)
         maxp = max(sym.fronts[nid].p for nid in node_ids)
         maxm = max(sym.fronts[nid].n - sym.fronts[nid].p for nid in node_ids)
         P = _pad_dim(maxp)
@@ -491,7 +501,8 @@ def _partial_factor_small_batch(F, P: int):
     return _finish_factor(F, lu, perm.astype(jnp.int32), P)
 
 
-def _partial_factor_body(F, P: int, p_arr, use_pallas: bool = False):
+def _partial_factor_body(F, P: int, p_arr, use_pallas: bool = False,
+                         allow_native_lu: bool = True):
     """Blocked LU with restricted partial pivoting of F[:, :P, :P]; TRSM of
     the off-blocks; Schur update.
 
@@ -512,7 +523,11 @@ def _partial_factor_body(F, P: int, p_arr, use_pallas: bool = False):
     """
     N = F.shape[-1]
     B = F.shape[0]
-    if B <= 2:
+    if B <= 2 and allow_native_lu:
+        # unsharded tree-top rounds only: XLA's LU custom call has no
+        # GSPMD partitioning rule, so under a mesh the hand-blocked path
+        # below (purely batch-elementwise ops + GEMMs) keeps the round
+        # sharded instead of all-gathering the biggest fronts
         return _partial_factor_small_batch(F, P)
     perm_total = jnp.tile(jnp.arange(P, dtype=jnp.int32)[None, :], (B, 1))
     nb = (P + PANEL - 1) // PANEL
@@ -582,7 +597,8 @@ def _partial_factor_body(F, P: int, p_arr, use_pallas: bool = False):
 
 
 _partial_factor = jax.jit(_partial_factor_body,
-                          static_argnames=("P", "use_pallas"))
+                          static_argnames=("P", "use_pallas",
+                                           "allow_native_lu"))
 
 
 def _fwd_round(W, FP, L21, perm, cells_own, cells_bor):
@@ -666,8 +682,9 @@ class JaxMultifrontal:
         # cannot partition a custom call), float32 fronts only
         self._use_pallas = (jax.default_backend() == "tpu"
                             and mesh is None and self.prec == jnp.float32)
+        ndev_plan = (mesh.shape[self.mesh_axis] if mesh is not None else 1)
         with timed("build round plans"):
-            self.plans = build_plan(sym, matrix)
+            self.plans = build_plan(sym, matrix, batch_multiple=ndev_plan)
         from .memplan import plan_memory
         ndev = (self.mesh.shape[self.mesh_axis]
                 if self.mesh is not None else 1)
@@ -703,6 +720,63 @@ class JaxMultifrontal:
         else:
             spec = PartitionSpec(*([None] * nd))
         return jax.device_put(np.asarray(arr), NamedSharding(self.mesh, spec))
+
+    # big-front rounds with fewer real fronts than devices shard their
+    # factor ARRAYS along a front axis instead of the batch axis — the
+    # TPU form of SuperLU_DIST distributing one supernode's L/U panels
+    # over the whole process grid (solve_ABglobal.c:307). The solve-path
+    # GEMMs then contract over the sharded axis (GSPMD inserts the psum:
+    # a distributed GEMM over ICI); the factor COMPUTE of these rounds
+    # stays replicated (same wall-clock as the pre-sharding design, and
+    # their transient (B,N,N) working set is budget-bounded) but the
+    # RESIDENT factors — the 1-degree problem's ~16 GB/device of
+    # replicated tree-top L/U — drop by the mesh size.
+    ROW_SHARD_MIN = 1024
+
+    def _row_sharded(self, plan) -> bool:
+        if self.mesh is None:
+            return False
+        ndev = self.mesh.shape[self.mesh_axis]
+        return (plan.B % ndev != 0 and plan.N >= self.ROW_SHARD_MIN
+                and plan.N % ndev == 0)
+
+    def _shard_factors(self, plan, FP, L21):
+        """Apply front-axis shardings to one round's stored factors."""
+        if not self._row_sharded(plan):
+            return FP, L21
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+        ndev = self.mesh.shape[self.mesh_axis]
+
+        def put(x, axis_size, spec):
+            if axis_size % ndev != 0 or axis_size == 0:
+                return x
+            s = NamedSharding(self.mesh, spec)
+            if isinstance(x, jax.core.Tracer):
+                return jax.lax.with_sharding_constraint(x, s)
+            return jax.device_put(x, s)
+
+        # FP (B, P, N): shard the last (column) axis; L21 (B, M, P):
+        # shard the row axis M (its P axis is the solve contraction dim
+        # against y, whose psum pairs with FP's)
+        FP = put(FP, plan.N, PS(None, None, self.mesh_axis))
+        L21 = put(L21, plan.M, PS(None, self.mesh_axis, None))
+        return FP, L21
+
+    def _shard_schur(self, plan, S):
+        """The Schur stacks of row-sharded rounds accumulate across the
+        whole tree-top chain (a 1-degree root-path stack is 1-3 GB each)
+        — shard their trailing axis so the live set distributes; the
+        consuming extend-add reshards as GSPMD requires."""
+        if not self._row_sharded(plan) or S.size == 0:
+            return S
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+        ndev = self.mesh.shape[self.mesh_axis]
+        if plan.M % ndev != 0 or plan.M == 0:
+            return S
+        s = NamedSharding(self.mesh, PS(None, None, self.mesh_axis))
+        if isinstance(S, jax.core.Tracer):
+            return jax.lax.with_sharding_constraint(S, s)
+        return jax.device_put(S, s)
 
     def _device_constants(self):
         """Plan index arrays as device buffers, passed (not embedded) into
@@ -781,9 +855,11 @@ class JaxMultifrontal:
                     schur[src_rnd] = None
             FP, L21, S, perm = _partial_factor(
                 F, P=plan.P, p_arr=cc["p_arr"],
-                use_pallas=self._use_pallas)
+                use_pallas=self._use_pallas,
+                allow_native_lu=self.mesh is None)
+            FP, L21 = self._shard_factors(plan, FP, L21)
             factors.append((FP, L21, perm))
-            schur[rnd] = S
+            schur[rnd] = self._shard_schur(plan, S)
         return tuple(factors)
 
     def _factor_dispatch(self, matrix: SparseMatrix) -> None:

@@ -85,3 +85,35 @@ def test_n_devices_flag_fails_loudly_when_unavailable(problem):
     with pytest.raises(ValueError, match="devices"):
         MultifrontalFactorization(matrix, impl="jax", maps=maps,
                                   n_devices=64)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_row_sharded_big_fronts_match_single_device(problem):
+    """Tree-top rounds with fewer fronts than devices must shard their
+    factor arrays along the front axes (the SuperLU 2-D-distribution
+    analog for one supernode) and still solve identically."""
+    from nk_ocn_tracer_jacobian_precond_tpu.solver.mf_jax import (
+        JaxMultifrontal)
+    matrix, maps = problem
+    mf_1 = MultifrontalFactorization(matrix, impl="jax", maps=maps)
+    old = JaxMultifrontal.ROW_SHARD_MIN
+    JaxMultifrontal.ROW_SHARD_MIN = 64   # the test grid's fronts are small
+    try:
+        mf_8 = MultifrontalFactorization(matrix, impl="jax", maps=maps,
+                                         sym=mf_1.sym, n_devices=8)
+        eng = mf_8.engine
+        row_sharded = 0
+        for plan, (FP, L21, perm) in zip(eng.plans, eng.factors):
+            if eng._row_sharded(plan):
+                assert not FP.sharding.is_fully_replicated, (plan.B, plan.N)
+                shape = FP.sharding.shard_shape(FP.shape)
+                assert shape[2] == plan.N // 8
+                row_sharded += 1
+        assert row_sharded >= 1, "no round exercised row sharding"
+        rng = np.random.default_rng(7)
+        B = rng.standard_normal((matrix.flat_len, 3))
+        X8 = mf_8.solve(B)
+        X1 = mf_1.solve(B)
+        np.testing.assert_allclose(X8, X1, rtol=1e-9, atol=1e-11)
+    finally:
+        JaxMultifrontal.ROW_SHARD_MIN = old
