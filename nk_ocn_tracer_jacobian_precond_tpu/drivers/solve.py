@@ -90,6 +90,35 @@ def run_solve(matrix_fname: str, inout_fname: str, vars_arg: str,
     return results
 
 
+def run_memplan(matrix_fname: str, n_devices: int, dbg_lvl: int = 0) -> int:
+    """Pre-flight sizing: symbolic + round plan + exact padded-shape
+    memory walk for the requested device count, no factorization. The
+    reference had no way to size a job short of submitting it and
+    watching SuperLU ABORT on allocation failure (solve_ABdist.c:147)."""
+    set_dbg_lvl(dbg_lvl)
+    matrix = read_matrix_file(matrix_fname)
+    maps = load_ind_maps(matrix_fname)
+    from ..solver.memplan import plan_memory
+    from ..solver.mf_jax import build_plan
+    from ..solver.symbolic import symbolic_from_matrix
+    with timed("symbolic analysis"):
+        sym = symbolic_from_matrix(maps, matrix)
+    with timed("round plans"):
+        plans = build_plan(sym, matrix, batch_multiple=n_devices)
+    mp = plan_memory(plans, n_devices=n_devices)
+    gb = 1 / 2 ** 30
+    print(f"matrix: flat_len={matrix.flat_len} nnz={matrix.nnz} "
+          f"fronts={len(sym.fronts)} max_front={sym.max_front} "
+          f"factor_flops={sym.factor_flops():.3e}")
+    print(f"memory plan ({n_devices} device(s), float32 factors):")
+    print(f"  factors resident: {mp.factor_bytes_total * gb:.2f} GB total, "
+          f"{mp.factor_bytes_per_device * gb:.2f} GB/device")
+    print(f"  Schur live peak:  {mp.schur_peak_per_device * gb:.2f} GB/device")
+    print(f"  transient peak:   {mp.transient_peak_per_device * gb:.2f} GB/device")
+    print(f"  peak per device:  {mp.peak_per_device * gb:.2f} GB")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="solve",
@@ -99,12 +128,15 @@ def main(argv=None) -> int:
     p.add_argument("-n", dest="npgrid", default=None,
                    help="nprow[,npcol] (reference compatibility; sets the "
                         "device count for the distributed backend)")
-    p.add_argument("-v", dest="vars", required=True,
+    p.add_argument("-v", dest="vars", default=None,
                    help="comma-separated tracer variable names")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "scipy", "multifrontal"])
+    p.add_argument("--memplan", action="store_true",
+                   help="print the per-device memory plan for this matrix "
+                        "and device count, then exit (no factorization)")
     p.add_argument("matrix_fname")
-    p.add_argument("inout_fname")
+    p.add_argument("inout_fname", nargs="?", default=None)
     args = p.parse_args(argv)
     if args.backend != "scipy":
         try:
@@ -120,6 +152,13 @@ def main(argv=None) -> int:
         nprow = parts[0]
         npcol = parts[1] if len(parts) > 1 else nprow
         n_devices = nprow * npcol
+    if args.memplan:
+        return run_memplan(args.matrix_fname, n_devices or 1,
+                           dbg_lvl=args.dbg_lvl)
+    if not args.vars or args.inout_fname is None:
+        print("solve: -v VARS and inout_fname are required (unless "
+              "--memplan)", file=sys.stderr)
+        return 2
     try:
         run_solve(args.matrix_fname, args.inout_fname, args.vars,
                   backend=args.backend, dbg_lvl=args.dbg_lvl,

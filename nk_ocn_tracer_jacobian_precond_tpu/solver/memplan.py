@@ -105,9 +105,15 @@ def plan_memory(plans, n_devices: int = 1, bytes_per_elem: int = 4,
         # temporaries (~1 GB, see _extend_add's chunking)
         a_idx = (plan.a_pos.size * plan.a_pos.itemsize
                  + plan.a_src.size * plan.a_src.itemsize)
-        trans = B * N * N * e + a_idx + int(1e9 if plan.child_groups else 0)
-        trans_dev = shard(B * N * N * e, B) + a_idx + \
-            int(1e9 if plan.child_groups else 0)
+        # extend-add temporaries: 3 arrays of (Lc, N, M_src+1), Lc chosen
+        # so each stays under ~0.5 GB (_extend_add's chunking) — but never
+        # more than the actual link total
+        ea = 0
+        for g in plan.child_groups:
+            msrc = plans[g.src_round].M + 1
+            ea = max(ea, min(int(5e8), len(g.src_slots) * N * msrc * e) * 3)
+        trans = B * N * N * e + a_idx + ea
+        trans_dev = shard(B * N * N * e, B) + a_idx + ea
         # Schur stack this round produces (row-sharded rounds shard it
         # on the trailing axis, _shard_schur)
         s_bytes = B * M * M * e

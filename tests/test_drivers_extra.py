@@ -107,3 +107,25 @@ def test_ncdiff_and_mf_backend_solve(tmp_path):
     b = maps.flatten_field(fields.get_var_double(tracer2, "IAGE_CUR", 3))
     A = matrix.to_scipy()
     assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) < 1e-9
+
+
+def test_solve_memplan_flag(tmp_path, capsys=None):
+    """--memplan prints sizing and exits 0 without factorizing."""
+    import subprocess, sys, os
+    from nk_ocn_tracer_jacobian_precond_tpu.testdata import make_circ_file
+    from nk_ocn_tracer_jacobian_precond_tpu.ops import (
+        AssemblyOptions, PerTracerOptions)
+    from nk_ocn_tracer_jacobian_precond_tpu.drivers.gen_a import run_gen_a
+    circ = str(tmp_path / "circ.nc")
+    make_circ_file(circ, imt=16, jmt=12, km=4, seed=4)
+    mat = str(tmp_path / "matrix.nc")
+    opts = AssemblyOptions(
+        circ_fname=circ,
+        per_tracer=[PerTracerOptions(sink_type="const", sink_rate=1e-4)])
+    run_gen_a(mat, opts=opts)
+    from nk_ocn_tracer_jacobian_precond_tpu.drivers import solve as sdrv
+    rc = sdrv.main(["--memplan", "-n", "2,2", mat])
+    assert rc == 0
+    # missing -v / inout without --memplan is an argument error
+    rc = sdrv.main([mat])
+    assert rc == 2
