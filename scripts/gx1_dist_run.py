@@ -24,9 +24,19 @@ import numpy as np
 
 def main():
     import jax
+    if os.environ.get("NK_RUN_CPU", "1") != "0":
+        # the environment's sitecustomize pre-imports jax pinned to the
+        # real TPU; env vars alone cannot override it (see
+        # parallel/dryrun.py). Backends initialize lazily, so redirecting
+        # the config before first device use still works.
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     ndev = len(jax.devices())
     print(f"devices: {ndev}", flush=True)
+    if ndev < 2:
+        print("need a multi-device mesh: run with XLA_FLAGS="
+              "--xla_force_host_platform_device_count=8", flush=True)
+        return 2
 
     from nk_ocn_tracer_jacobian_precond_tpu.grid.indmap import load_ind_maps
     from nk_ocn_tracer_jacobian_precond_tpu.io.matrixfile import (
