@@ -3,8 +3,17 @@
 run (144 MPI ranks on Cheyenne, test/test_solve_ABglobal.csh:6-7,31).
 
 Run:
-    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    XLA_FLAGS="--xla_force_host_platform_device_count=8 \
+        --xla_cpu_collective_timeout_seconds=7200 \
+        --xla_cpu_collective_call_warn_stuck_timeout_seconds=3600 \
+        --xla_cpu_collective_call_terminate_timeout_seconds=7200" \
         python scripts/gx1_dist_run.py
+
+The raised collective timeouts matter: XLA:CPU's in-process rendezvous
+kills the process after 40 s by default, and on a single core
+time-sharing 8 virtual devices the per-device compute between
+collectives at this scale far exceeds that (a simulated-environment
+artifact — on real hardware the devices run concurrently).
 
 Float32 factors (the TPU configuration), host-side float64 iterative
 refinement. Memory: ~72 GB of factors sharded over the mesh (9 GB/device
