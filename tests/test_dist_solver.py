@@ -117,3 +117,51 @@ def test_row_sharded_big_fronts_match_single_device(problem):
         np.testing.assert_allclose(X8, X1, rtol=1e-9, atol=1e-11)
     finally:
         JaxMultifrontal.ROW_SHARD_MIN = old
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_distributed_coupled_tracers(tmp_path):
+    """2-tracer coupled systems (PO4/DOP-style cross-blocks) through the
+    mesh-sharded factorization."""
+    circ = str(tmp_path / "circ.nc")
+    make_circ_file(circ, imt=16, jmt=14, km=5, seed=3)
+    mat = str(tmp_path / "matrix.nc")
+    pts = [PerTracerOptions(sink_type="const", sink_rate=1e-4),
+           PerTracerOptions(sink_type="const", sink_rate=2e-4)]
+    opts = AssemblyOptions(circ_fname=circ, hmix_type="const",
+                           vmix_type="const", coupled_tracer_cnt=2,
+                           per_tracer=pts,
+                           coupled_tracer_type="OCMIP_BGC_PO4_DOP")
+    run_gen_a(mat, opts=opts)
+    matrix = read_matrix_file(mat)
+    maps = load_ind_maps(mat)
+    assert matrix.coupled_tracer_cnt == 2
+    mf_1 = MultifrontalFactorization(matrix, impl="jax", maps=maps)
+    mf_8 = MultifrontalFactorization(matrix, impl="jax", maps=maps,
+                                     sym=mf_1.sym, n_devices=8)
+    rng = np.random.default_rng(9)
+    B = rng.standard_normal((matrix.flat_len, 2))
+    X1 = mf_1.solve(B)
+    X8 = mf_8.solve(B)
+    np.testing.assert_allclose(X8, X1, rtol=1e-9, atol=1e-11)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_memplan_matches_mesh_shard_sizes(problem):
+    """plan_memory's per-device factor bytes must equal the sum of the
+    engine's ACTUAL per-device shard sizes under the mesh."""
+    from nk_ocn_tracer_jacobian_precond_tpu.solver.memplan import plan_memory
+    matrix, maps = problem
+    mf = MultifrontalFactorization(matrix, impl="jax", maps=maps,
+                                   n_devices=8)
+    eng = mf.engine
+    itemsize = np.dtype(eng.prec).itemsize
+    mp = plan_memory(eng.plans, n_devices=8, bytes_per_elem=itemsize)
+    actual_dev = 0
+    for FP, L21, perm in eng.factors:
+        for arr, isz in ((FP, itemsize), (L21, itemsize), (perm, 4)):
+            if arr.size == 0:
+                continue
+            shp = arr.sharding.shard_shape(arr.shape)
+            actual_dev += int(np.prod(shp)) * isz
+    assert actual_dev == mp.factor_bytes_per_device
