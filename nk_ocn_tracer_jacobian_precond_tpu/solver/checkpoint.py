@@ -111,9 +111,13 @@ def load_factors(path: str, fac) -> None:
         if FP.shape != (plan.B, plan.P, plan.N):
             raise ValueError(f"round {i}: factor shape {FP.shape} != "
                              f"{(plan.B, plan.P, plan.N)}")
-        factors.append((eng._put(FP.astype(eng.prec), plan.B),
-                        eng._put(z[f"r{i}_L21"].astype(eng.prec), plan.B),
-                        eng._put(z[f"r{i}_perm"], plan.B)))
+        FPd = eng._put(FP.astype(eng.prec), plan.B)
+        L21d = eng._put(z[f"r{i}_L21"].astype(eng.prec), plan.B)
+        # tree-top rounds shard along the front axes under a mesh
+        # (mf_jax._shard_factors) — reapply on reload or the restored
+        # factors would silently replicate
+        FPd, L21d = eng._shard_factors(plan, FPd, L21d)
+        factors.append((FPd, L21d, eng._put(z[f"r{i}_perm"], plan.B)))
     eng.factors = tuple(factors)
     if "dr" in z.files:
         fac.dr, fac.dc = z["dr"], z["dc"]
