@@ -682,6 +682,9 @@ class JaxMultifrontal:
         # cannot partition a custom call), float32 fronts only
         self._use_pallas = (jax.default_backend() == "tpu"
                             and mesh is None and self.prec == jnp.float32)
+        # see _factor_body: serialize chunk programs on simulated meshes
+        self._sync_rounds = (mesh is not None
+                             and jax.default_backend() == "cpu")
         ndev_plan = (mesh.shape[self.mesh_axis] if mesh is not None else 1)
         with timed("build round plans"):
             self.plans = build_plan(sym, matrix, batch_multiple=ndev_plan)
@@ -860,6 +863,18 @@ class JaxMultifrontal:
             FP, L21 = self._shard_factors(plan, FP, L21)
             factors.append((FP, L21, perm))
             schur[rnd] = self._shard_schur(plan, S)
+            if self._sync_rounds:
+                # simulated (CPU) meshes only: with all virtual devices
+                # time-sharing one host pool, letting many chunk programs
+                # run concurrently can exhaust the pool with executions
+                # blocked inside collectives whose remaining participants
+                # are queued BEHIND them — a rendezvous deadlock XLA:CPU
+                # kills after its timeout. One program in flight at a
+                # time cannot starve itself. Real TPU meshes never take
+                # this branch.
+                jax.block_until_ready((FP, L21, perm, schur[rnd]))
+                if (rnd + 1) % 10 == 0 or rnd + 1 == len(self.plans):
+                    dbg(1, f"factor round {rnd + 1}/{len(self.plans)}")
         return tuple(factors)
 
     def _factor_dispatch(self, matrix: SparseMatrix) -> None:
