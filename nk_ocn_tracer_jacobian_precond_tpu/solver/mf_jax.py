@@ -257,9 +257,15 @@ def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
         # per-front entry lists padded to a rectangle: pad positions point
         # one past the front (dropped by the scatter), pad sources point at
         # the sentinel zero appended to nzval
-        E = max((len(x) for x in pos_l), default=0)
-        a_pos = np.full((B, max(E, 1)), N * N, dtype=np.int32)
-        a_src = np.full((B, max(E, 1)), nnz, dtype=np.int32)
+        E = max(max((len(x) for x in pos_l), default=0), 1)
+        # padding entries point at DISTINCT overflow slots past N*N (the
+        # scatter buffer is N*N + E and gets truncated): every scatter
+        # index is then unique and in-bounds, which lets the device
+        # scatter run with unique_indices + promise_in_bounds — XLA:TPU
+        # serializes a scatter it cannot prove duplicate-free, and the
+        # assembly scatter was the single hottest factor kernel (17%)
+        a_pos = np.tile(N * N + np.arange(E, dtype=np.int32), (B, 1))
+        a_src = np.full((B, E), nnz, dtype=np.int32)
         for b in range(B):
             a_pos[b, :len(pos_l[b])] = pos_l[b]
             a_src[b, :len(src_l[b])] = src_l[b]
@@ -300,10 +306,15 @@ def _assemble(nzval_ext, a_pos, a_src, p_arr, N: int, P: int):
     front axis shards cleanly over a device mesh) plus the identity padding
     on unused pivot-diagonal positions."""
 
+    E = a_pos.shape[1]
+
     def one(pos, src):
         vals = nzval_ext[src]
-        return jnp.zeros((N * N,), nzval_ext.dtype).at[pos].add(
-            vals, mode="drop")
+        # all positions unique and within N*N+E (padding points at the
+        # truncated overflow tail) — see build_plan's a_pos construction
+        buf = jnp.zeros((N * N + E,), nzval_ext.dtype).at[pos].add(
+            vals, mode="promise_in_bounds", unique_indices=True)
+        return buf[:N * N]
 
     F = jax.vmap(one)(a_pos, a_src).reshape(-1, N, N)
     ar = jnp.arange(P)
