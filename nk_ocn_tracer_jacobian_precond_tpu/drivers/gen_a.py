@@ -54,6 +54,35 @@ def write_opts(opts: AssemblyOptions, matrix_fname: str) -> None:
     dbg(1, f"matrix_fname               = {matrix_fname}")
 
 
+def check_matrix_diag(matrix: SparseMatrix) -> tuple[int, int]:
+    """Warn-only scan for missing/zero diagonal entries after assembly
+    (rebuild of check_matrix_diag, reference src/matrix.c:3692-3727): a
+    malformed option/input file that produces a structurally singular
+    Jacobian should be flagged here, not discovered as a breakdown inside
+    the factorization. Returns (missing_cnt, zero_cnt)."""
+    rowptr = np.asarray(matrix.rowptr)
+    colind = np.asarray(matrix.colind)
+    nzval = np.asarray(matrix.nzval)
+    n = matrix.flat_len
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(rowptr))
+    is_diag = colind == rows
+    has_diag = np.zeros(n, dtype=bool)
+    has_diag[rows[is_diag]] = True
+    zero_diag = np.zeros(n, dtype=bool)
+    zero_diag[rows[is_diag & (nzval == 0.0)]] = True
+    missing = int((~has_diag).sum())
+    zeros = int(zero_diag.sum())
+    if missing:
+        first = int(np.flatnonzero(~has_diag)[0])
+        print(f"gen_a: WARNING: {missing} row(s) have no diagonal entry "
+              f"(first: row {first})", file=sys.stderr)
+    if zeros:
+        first = int(np.flatnonzero(zero_diag)[0])
+        print(f"gen_a: WARNING: {zeros} row(s) have a zero diagonal entry "
+              f"(first: row {first})", file=sys.stderr)
+    return missing, zeros
+
+
 def run_gen_a(matrix_fname: str, opt_fname: str | None = None,
               opts: AssemblyOptions | None = None, dbg_lvl: int = 0) -> SparseMatrix:
     set_dbg_lvl(dbg_lvl)
@@ -78,6 +107,7 @@ def run_gen_a(matrix_fname: str, opt_fname: str | None = None,
         nzval, colind, rowptr = to_csr(asm)
     matrix = SparseMatrix(nzval=nzval, colind=colind, rowptr=rowptr,
                           coupled_tracer_cnt=opts.coupled_tracer_cnt)
+    check_matrix_diag(matrix)
     with timed("put_matrix_file"):
         write_matrix_file(matrix_fname, grid, maps, matrix)
     dbg(1, f"matrix written to {matrix_fname}: flat_len = {matrix.flat_len}, "

@@ -105,12 +105,24 @@ def run_memplan(matrix_fname: str, n_devices: int, dbg_lvl: int = 0) -> int:
         sym = symbolic_from_matrix(maps, matrix)
     with timed("round plans"):
         plans = build_plan(sym, matrix, batch_multiple=n_devices)
-    mp = plan_memory(plans, n_devices=n_devices)
+    # size with the same precision rule the engine applies (float64 only
+    # on x64-enabled CPU backends, mf_jax.JaxMultifrontal) — a float32
+    # plan would understate an actual CPU run's memory by 2x
+    dtype_name = "float32"
+    bytes_per_elem = 4
+    try:
+        import jax
+        if jax.config.jax_enable_x64 and jax.default_backend() == "cpu":
+            dtype_name, bytes_per_elem = "float64", 8
+    except Exception:
+        pass
+    mp = plan_memory(plans, n_devices=n_devices,
+                     bytes_per_elem=bytes_per_elem)
     gb = 1 / 2 ** 30
     print(f"matrix: flat_len={matrix.flat_len} nnz={matrix.nnz} "
           f"fronts={len(sym.fronts)} max_front={sym.max_front} "
           f"factor_flops={sym.factor_flops():.3e}")
-    print(f"memory plan ({n_devices} device(s), float32 factors):")
+    print(f"memory plan ({n_devices} device(s), {dtype_name} factors):")
     print(f"  factors resident: {mp.factor_bytes_total * gb:.2f} GB total, "
           f"{mp.factor_bytes_per_device * gb:.2f} GB/device")
     print(f"  Schur live peak:  {mp.schur_peak_per_device * gb:.2f} GB/device")

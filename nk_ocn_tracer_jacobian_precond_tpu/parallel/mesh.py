@@ -2,10 +2,12 @@
 
 The reference organizes ranks as an nprow x npcol MPI process grid
 (src/solve_ABglobal.c:307 superlu_gridinit). The TPU equivalent is a named
-jax.sharding.Mesh; the latitude ("j") axis of the ocean grid maps onto the
-mesh's "band" axis (1-D block-row domain decomposition, the analog of
-solve_ABdist.c:139-144), and the RHS batch maps onto "rhs" when two axes
-are requested.
+1-D jax.sharding.Mesh: the solver shards front batches over it ("front")
+and the stencil SpMV shards the latitude axis over it ("band" — the 1-D
+block-row domain decomposition, the analog of solve_ABdist.c:139-144).
+The reference's 2-D grid expresses SuperLU's internal block-cyclic layout;
+the multifrontal engine's equivalent second dimension is the front axis of
+the tree-top rounds (mf_jax._shard_factors), not a second mesh axis.
 """
 
 from __future__ import annotations
@@ -22,15 +24,6 @@ def make_mesh(n_devices: int | None = None, axis_names=("band",)) -> Mesh:
         n_devices = len(devs)
     if n_devices > len(devs):
         raise ValueError(f"requested {n_devices} devices, have {len(devs)}")
-    devs = np.array(devs[:n_devices])
-    if len(axis_names) == 1:
-        return Mesh(devs.reshape(-1), axis_names)
-    if len(axis_names) == 2:
-        # favor the band axis; rhs axis gets the rest
-        band = 1
-        while band * 2 <= n_devices and band * 2 <= 8:
-            band *= 2
-        while n_devices % band:
-            band //= 2
-        return Mesh(devs.reshape(band, n_devices // band), axis_names)
-    raise ValueError("1- or 2-axis meshes supported")
+    if len(axis_names) != 1:
+        raise ValueError("1-axis meshes only (front/band sharding)")
+    return Mesh(np.array(devs[:n_devices]), axis_names)

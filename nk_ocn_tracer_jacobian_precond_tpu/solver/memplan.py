@@ -37,10 +37,12 @@ class MemoryPlan:
 
     @property
     def peak_per_device(self) -> int:
-        """Factor-resident + worst-round (Schur live + transients)."""
-        return self.factor_bytes_per_device + max(
-            (r["schur_live_dev"] + r["transient_dev"] for r in self.rounds),
-            default=0)
+        """True high-water mark over the round schedule: each round's
+        factors-resident-so-far + full front stack + index/extend-add
+        transients + ALL live Schur stacks (pre-free, including the
+        round's own output) — computed once per round in plan_memory
+        (no double count of surviving stacks)."""
+        return max((r["highwater_dev"] for r in self.rounds), default=0)
 
     def summary(self) -> str:
         gb = 1 / 2 ** 30
@@ -118,12 +120,17 @@ def plan_memory(plans, n_devices: int = 1, bytes_per_elem: int = 4,
         # on the trailing axis, _shard_schur)
         s_bytes = B * M * M * e
         live[rnd] = (s_bytes, shard_dim(s_bytes, B, M, q))
-        # the live set DURING the round still includes the source stacks
-        # being consumed by the extend-add
+        # the round's true high-water mark: factors resident through this
+        # round (this round's FP/L21 coexist with its front stack at the
+        # tail of the kernel) + the front stack and bounded temporaries +
+        # every Schur stack live DURING the round (pre-free: sources being
+        # consumed by the extend-add plus the round's own output). Counted
+        # exactly once — the old split into transient + post-free live set
+        # double-counted surviving stacks.
         s_during = sum(v[0] for v in live.values())
         s_during_dev = sum(v[1] for v in live.values())
-        trans += s_during - s_bytes
-        trans_dev += s_during_dev - shard(s_bytes, B)
+        hw = fac_tot + trans + s_during
+        hw_dev = fac_dev + trans_dev + s_during_dev
         # free the stacks whose last consumer is this round
         for src, lr in list(last_use.items()):
             if lr == rnd:
@@ -138,7 +145,8 @@ def plan_memory(plans, n_devices: int = 1, bytes_per_elem: int = 4,
         rounds.append(dict(round=rnd, B=B, P=P, N=N, factor=f_bytes,
                            factor_dev=f_dev,
                            schur_live=s_live, schur_live_dev=s_live_dev,
-                           transient=trans, transient_dev=trans_dev))
+                           transient=trans, transient_dev=trans_dev,
+                           highwater=hw, highwater_dev=hw_dev))
     return MemoryPlan(n_devices=n_devices, bytes_per_elem=e,
                       factor_bytes_total=fac_tot,
                       factor_bytes_per_device=fac_dev,

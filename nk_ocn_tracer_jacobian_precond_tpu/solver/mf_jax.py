@@ -147,6 +147,24 @@ def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
     csr_rowptr = np.asarray(matrix.rowptr)
     csr_colind = np.asarray(matrix.colind, dtype=np.int64)
     nnz = len(csr_colind)
+    # int32 routing/scatter-index safety: plan_entries and a_src narrow to
+    # int32, and the assembly scatter runs with promise_in_bounds — an
+    # overflowed index would be silent corruption, so refuse loudly
+    if flat_len >= 2 ** 31 or nnz >= 2 ** 31:
+        raise ValueError(f"matrix too large for the int32 plan path "
+                         f"(flat_len={flat_len}, nnz={nnz} must be < 2^31)")
+    # the promise_in_bounds + unique_indices assembly scatter is only safe
+    # for canonical CSR (column-sorted, duplicate-free rows — what
+    # assemble.py::to_csr emits); a hand-made matrix file with duplicate
+    # (r, c) entries would silently corrupt the factors. O(nnz) check.
+    if nnz > 1:
+        starts = np.zeros(nnz, dtype=bool)
+        starts[csr_rowptr[1:-1]] = True
+        if not np.all((np.diff(csr_colind) > 0) | starts[1:]):
+            raise ValueError(
+                "matrix CSR is not canonical (columns not strictly "
+                "increasing within rows; duplicates?) — re-canonicalize "
+                "with ops.assemble.to_csr before factorization")
 
     # --- global per-cell tables -------------------------------------------
     cell_node = np.empty(flat_len, dtype=np.int64)   # owning node per cell
@@ -264,6 +282,9 @@ def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
         # scatter run with unique_indices + promise_in_bounds — XLA:TPU
         # serializes a scatter it cannot prove duplicate-free, and the
         # assembly scatter was the single hottest factor kernel (17%)
+        if N * N + E >= 2 ** 31:
+            raise ValueError(f"padded front {N}x{N} + {E} entries overflows "
+                             f"the int32 scatter index space")
         a_pos = np.tile(N * N + np.arange(E, dtype=np.int32), (B, 1))
         a_src = np.full((B, E), nnz, dtype=np.int32)
         for b in range(B):
@@ -874,7 +895,7 @@ class JaxMultifrontal:
             FP, L21 = self._shard_factors(plan, FP, L21)
             factors.append((FP, L21, perm))
             schur[rnd] = self._shard_schur(plan, S)
-            if self._sync_rounds:
+            if self._sync_rounds and not self._fuse_factor:
                 # simulated (CPU) meshes only: with all virtual devices
                 # time-sharing one host pool, letting many chunk programs
                 # run concurrently can exhaust the pool with executions

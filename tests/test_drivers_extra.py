@@ -129,3 +129,49 @@ def test_solve_memplan_flag(tmp_path, capsys=None):
     # missing -v / inout without --memplan is an argument error
     rc = sdrv.main([mat])
     assert rc == 2
+
+
+def test_check_matrix_diag_warns():
+    """check_matrix_diag (reference matrix.c:3692-3727): warn-only counts
+    of missing and zero diagonal entries."""
+    from nk_ocn_tracer_jacobian_precond_tpu.io.matrixfile import SparseMatrix
+    from nk_ocn_tracer_jacobian_precond_tpu.drivers.gen_a import (
+        check_matrix_diag)
+    # row 0: diag present; row 1: zero diag; row 2: no diag at all
+    m = SparseMatrix(nzval=np.array([2.0, 1.0, 0.0, 3.0]),
+                     colind=np.array([0, 1, 1, 0], dtype=np.int64),
+                     rowptr=np.array([0, 1, 3, 4], dtype=np.int64),
+                     coupled_tracer_cnt=1)
+    missing, zeros = check_matrix_diag(m)
+    assert missing == 1 and zeros == 1
+    ok = SparseMatrix(nzval=np.array([2.0, 1.0]),
+                      colind=np.array([0, 1], dtype=np.int64),
+                      rowptr=np.array([0, 1, 2], dtype=np.int64),
+                      coupled_tracer_cnt=1)
+    assert check_matrix_diag(ok) == (0, 0)
+
+
+def test_build_plan_rejects_noncanonical_csr():
+    """The assembly scatter promises unique in-bounds indices, which is
+    only valid for canonical CSR — duplicates must be refused, not
+    silently mis-assembled (round-1 advisor finding)."""
+    import pytest as _pytest
+    from nk_ocn_tracer_jacobian_precond_tpu.io.matrixfile import SparseMatrix
+    from nk_ocn_tracer_jacobian_precond_tpu.solver.mf_jax import build_plan
+    from nk_ocn_tracer_jacobian_precond_tpu.solver.symbolic import (
+        symbolic_from_matrix)
+    from nk_ocn_tracer_jacobian_precond_tpu.grid.indmap import gen_ind_maps
+    kmt = np.zeros((4, 4), dtype=np.int64)
+    kmt[1:-1, :] = 2
+    maps = gen_ind_maps(kmt, 2)
+    n = maps.tracer_state_len
+    # diagonal matrix, but with row 0's diagonal split into two duplicate
+    # (0, 0) entries
+    colind = np.concatenate([[0, 0], np.arange(1, n)]).astype(np.int64)
+    rowptr = np.concatenate([[0, 2], np.arange(3, n + 2)]).astype(np.int64)
+    nzval = np.ones(n + 1)
+    dup = SparseMatrix(nzval=nzval, colind=colind, rowptr=rowptr,
+                       coupled_tracer_cnt=1)
+    sym = symbolic_from_matrix(maps, dup, leaf_size=4)
+    with _pytest.raises(ValueError, match="canonical"):
+        build_plan(sym, dup)
