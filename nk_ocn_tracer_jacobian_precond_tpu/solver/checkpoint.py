@@ -10,8 +10,11 @@ once and reloaded, skipping ordering + analysis entirely.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
+from ..utils import dbg
 from .symbolic import Front, SymbolicFactorization
 
 
@@ -66,6 +69,94 @@ def load_symbolic(path: str) -> SymbolicFactorization:
     return SymbolicFactorization(
         fronts=fronts, rounds=rounds, perm=z["perm"], iperm=z["iperm"],
         flat_len=int(z["flat_len"][0]))
+
+
+class FactorRoundCheckpointer:
+    """Per-round checkpointing of the numeric factorization — the
+    resumability layer the round-1 gx1 run lacked (it died at round
+    ~120/160 on a session CPU budget and had to restart from zero;
+    SuperLU_DIST has no equivalent at all, its factorization is all-or-
+    nothing within one pdgstrf call).
+
+    Each completed round's (FP, L21, perm) lands in
+    ``round_NNNN.npz`` (atomic rename), its Schur stack — needed only
+    until the parent round consumes it — in ``round_NNNN_S.npy``,
+    deleted as soon as every consumer is done, so on-disk Schur usage
+    tracks the bounded live set, not the sum over the whole tree.
+    Checkpoints are keyed by a hash of the factorized values + the
+    plan shape, so a refactor with new Newton-iteration values never
+    resumes from stale factors."""
+
+    def __init__(self, dirpath: str, nzhash: str):
+        self.dir = dirpath
+        self.nzhash = nzhash
+        os.makedirs(dirpath, exist_ok=True)
+
+    def _path(self, rnd: int) -> str:
+        return os.path.join(self.dir, f"round_{rnd:04d}.npz")
+
+    def _spath(self, rnd: int) -> str:
+        return os.path.join(self.dir, f"round_{rnd:04d}_S.npy")
+
+    def _meta(self, plan) -> np.ndarray:
+        return np.array([plan.B, plan.P, plan.N, plan.M], dtype=np.int64)
+
+    def scan(self, plans) -> set[int]:
+        """Rounds with a valid (shape- and value-matching) checkpoint."""
+        done: set[int] = set()
+        for rnd, plan in enumerate(plans):
+            p = self._path(rnd)
+            if not os.path.exists(p):
+                continue
+            try:
+                with np.load(p, allow_pickle=False) as z:
+                    if (str(z["nzhash"]) == self.nzhash
+                            and np.array_equal(z["meta"], self._meta(plan))):
+                        done.add(rnd)
+            except Exception:
+                continue
+        if done:
+            dbg(1, f"factor checkpoint: resuming {len(done)}/{len(plans)} "
+                   f"rounds from {self.dir}")
+        return done
+
+    def save_round(self, rnd: int, plan, FP, L21, perm,
+                   S=None) -> None:
+        tmp = self._path(rnd) + ".tmp.npz"
+        np.savez(tmp, FP=np.asarray(FP), L21=np.asarray(L21),
+                 perm=np.asarray(perm), meta=self._meta(plan),
+                 nzhash=self.nzhash)
+        os.replace(tmp, self._path(rnd))
+        if S is not None and np.size(S):
+            stmp = self._spath(rnd) + ".tmp.npy"
+            np.save(stmp, np.asarray(S))
+            os.replace(stmp, self._spath(rnd))
+
+    def load_round(self, rnd: int, plan, eng, need_schur: bool):
+        """Returns (FP, L21, perm, S-or-None) device-placed with the
+        engine's shardings, or None if no valid checkpoint."""
+        with np.load(self._path(rnd), allow_pickle=False) as z:
+            FP = eng._put(z["FP"].astype(eng.prec), plan.B)
+            L21 = eng._put(z["L21"].astype(eng.prec), plan.B)
+            perm = eng._put(z["perm"], plan.B)
+        FP, L21 = eng._shard_factors(plan, FP, L21)
+        S = None
+        if need_schur:
+            spath = self._spath(rnd)
+            if not os.path.exists(spath):
+                return None     # consumer needs the Schur we don't have
+            S = eng._shard_schur(plan, eng._put(
+                np.load(spath).astype(eng.prec), plan.B))
+        return FP, L21, perm, S
+
+    def has_schur(self, rnd: int) -> bool:
+        return os.path.exists(self._spath(rnd))
+
+    def drop_schur(self, rnd: int) -> None:
+        try:
+            os.remove(self._spath(rnd))
+        except OSError:
+            pass
 
 
 def save_factors(path: str, fac) -> None:

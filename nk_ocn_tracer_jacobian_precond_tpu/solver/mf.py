@@ -50,7 +50,8 @@ class MultifrontalFactorization:
                  leaf_size: int = 32, refine_tol: float = 1e-13,
                  maps=None, sym: SymbolicFactorization | None = None,
                  n_devices: int | None = None, equilibrate_matrix: bool = True,
-                 mesh=None, precision=None):
+                 mesh=None, precision=None,
+                 factor_checkpoint_dir: str | None = None):
         self.matrix = matrix
         self.A = matrix.to_scipy()
         self.refine_tol = refine_tol
@@ -86,8 +87,9 @@ class MultifrontalFactorization:
                 self.engine = NumpyMultifrontal(sym, fac_matrix)
             elif impl == "jax":
                 from .mf_jax import JaxMultifrontal
-                self.engine = JaxMultifrontal(sym, fac_matrix, mesh=self.mesh,
-                                              precision=precision)
+                self.engine = JaxMultifrontal(
+                    sym, fac_matrix, mesh=self.mesh, precision=precision,
+                    checkpoint_dir=factor_checkpoint_dir)
             else:
                 raise ValueError(f"unknown multifrontal impl: {impl}")
 

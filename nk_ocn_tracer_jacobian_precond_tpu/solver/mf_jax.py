@@ -351,16 +351,19 @@ def _extend_add(F, S_src, src_slots, dst_slots, inv):
     Duplicate dst slots (a front with several children in the same source
     round) accumulate through the scatter-add.
 
-    The row selection is a major-axis gather; the COLUMN selection is a
-    one-hot GEMM on the MXU. XLA:TPU's gather kernel faults outright on
-    the column step at gx3deep-class front widths (~2k, reproduced
-    standalone in every formulation — minor-axis, transposed, barriered,
-    split into separate programs); selection-by-matmul sidesteps the
-    kernel entirely and is exact (exactly one unit coefficient per output
-    at HIGHEST precision)."""
+    The row selection is a major-axis gather. The COLUMN selection is
+    backend-dependent (measured on real v5e + XLA:CPU, round 2):
+      * TPU: gather -> transpose -> gather (both gathers major-axis;
+        20-30%% faster than the round-1 one-hot GEMM at every front
+        width, and free of the minor-axis gather kernel fault the
+        one-hot GEMM originally worked around);
+      * CPU: take_along_axis minor-axis gather — the one-hot GEMM's
+        N^2*M flops are 3.6x slower than memory ops on the host, and
+        the simulated-mesh gx1 run lives on this path."""
     Mp1 = S_src.shape[1] + 1
     L = src_slots.shape[0]
     N = inv.shape[1]
+    on_cpu = jax.default_backend() == "cpu"
     Sp = jnp.pad(S_src, ((0, 0), (0, 1), (0, 1)))
     # chunk over links so the (Lc, N, M+1) temporaries stay bounded
     # (~0.5 GB) — at gx3deep-scale rounds the unchunked temporaries were
@@ -371,10 +374,13 @@ def _extend_add(F, S_src, src_slots, dst_slots, inv):
         iv = inv[lo:hi]
         G = Sp[src_slots[lo:hi]]
         rows = jax.vmap(lambda g, i: g[i])(G, iv)        # (Lc, N, M+1)
-        onehot = (iv[:, :, None] == jnp.arange(Mp1)[None, None, :]
-                  ).astype(F.dtype)                      # (Lc, N, M+1)
-        adds = jnp.einsum("lak,lbk->lab", rows, onehot,
-                          precision=jax.lax.Precision.HIGHEST)
+        if on_cpu:
+            idx = jnp.broadcast_to(iv[:, None, :], (hi - lo, N, N))
+            adds = jnp.take_along_axis(rows, idx, axis=2)
+        else:
+            rowsT = rows.transpose(0, 2, 1)              # (Lc, M+1, N)
+            addsT = jax.vmap(lambda g, i: g[i])(rowsT, iv)   # (Lc, N, N)
+            adds = addsT.transpose(0, 2, 1)
         F = F.at[dst_slots[lo:hi]].add(adds)
     return F
 
@@ -685,9 +691,11 @@ class JaxMultifrontal:
     parallelism has run out anyway)."""
 
     def __init__(self, sym: SymbolicFactorization, matrix: SparseMatrix,
-                 precision=None, mesh=None, mesh_axis: str | None = None):
+                 precision=None, mesh=None, mesh_axis: str | None = None,
+                 checkpoint_dir: str | None = None):
         self.sym = sym
         self.mesh = mesh
+        self._ckpt_dir = checkpoint_dir
         self.mesh_axis = mesh_axis or (mesh.axis_names[0] if mesh is not None
                                        else None)
         if precision is None:
@@ -870,15 +878,54 @@ class JaxMultifrontal:
         phase is a single device program: per-dispatch latency on a
         remote-tunneled TPU otherwise dominates the steady-state
         refactorization (measured 2.1s of ~40 dispatches vs ~0.15s of
-        device compute at gx3)."""
+        device compute at gx3).
+
+        With a FactorRoundCheckpointer attached (long simulated-mesh or
+        production runs), every completed round is persisted and valid
+        checkpointed rounds are loaded instead of recomputed — the
+        factorization resumes across process restarts."""
         factors = []
         schur: list = [None] * len(self.plans)
         uses = [0] * len(self.plans)
-        for plan in self.plans:
+        consumers: list[list[int]] = [[] for _ in self.plans]
+        for rnd, plan in enumerate(self.plans):
             for g in plan.child_groups:
                 uses[g.src_round] += 1
+                consumers[g.src_round].append(rnd)
+        ckpt = self._ckpt if not self._fuse_factor else None
+        done: set[int] = set()
+        if ckpt is not None:
+            done = ckpt.scan(self.plans)
+            # a checkpointed round whose Schur stack a NOT-checkpointed
+            # consumer needs must have its S file on disk; otherwise it
+            # must be recomputed (fixpoint: dropping a round may orphan
+            # its own sources' Schur needs in turn)
+            changed = True
+            while changed:
+                changed = False
+                for rnd in list(done):
+                    need = any(c not in done for c in consumers[rnd])
+                    if need and self.plans[rnd].M > 0 \
+                            and not ckpt.has_schur(rnd):
+                        done.discard(rnd)
+                        changed = True
         for rnd, plan in enumerate(self.plans):
             cc = consts[rnd]
+            if rnd in done:
+                need_s = (plan.M > 0
+                          and any(c not in done for c in consumers[rnd]))
+                loaded = ckpt.load_round(rnd, plan, self, need_schur=need_s)
+                if loaded is not None:
+                    FP, L21, perm, S = loaded
+                    for g in plan.child_groups:
+                        uses[g.src_round] -= 1
+                        if uses[g.src_round] == 0:
+                            schur[g.src_round] = None
+                            ckpt.drop_schur(g.src_round)
+                    factors.append((FP, L21, perm))
+                    schur[rnd] = S
+                    continue
+                done.discard(rnd)   # checkpoint vanished mid-run: recompute
             F = _assemble(nzval_ext, cc["a_pos"], cc["a_src"],
                           cc["p_arr"], N=plan.N, P=plan.P)
             for gi, g in enumerate(plan.child_groups):
@@ -888,6 +935,8 @@ class JaxMultifrontal:
                 uses[src_rnd] -= 1
                 if uses[src_rnd] == 0:
                     schur[src_rnd] = None
+                    if ckpt is not None:
+                        ckpt.drop_schur(src_rnd)
             FP, L21, S, perm = _partial_factor(
                 F, P=plan.P, p_arr=cc["p_arr"],
                 use_pallas=self._use_pallas,
@@ -895,6 +944,9 @@ class JaxMultifrontal:
             FP, L21 = self._shard_factors(plan, FP, L21)
             factors.append((FP, L21, perm))
             schur[rnd] = self._shard_schur(plan, S)
+            if ckpt is not None:
+                ckpt.save_round(rnd, plan, FP, L21, perm,
+                                S if uses[rnd] > 0 else None)
             if self._sync_rounds and not self._fuse_factor:
                 # simulated (CPU) meshes only: with all virtual devices
                 # time-sharing one host pool, letting many chunk programs
@@ -905,20 +957,34 @@ class JaxMultifrontal:
                 # time cannot starve itself. Real TPU meshes never take
                 # this branch.
                 jax.block_until_ready((FP, L21, perm, schur[rnd]))
-                if (rnd + 1) % 10 == 0 or rnd + 1 == len(self.plans):
-                    dbg(1, f"factor round {rnd + 1}/{len(self.plans)}")
+                import time
+                now = time.perf_counter()
+                dbg(1, f"factor round {rnd + 1}/{len(self.plans)} "
+                       f"B={plan.B} P={plan.P} N={plan.N} "
+                       f"({now - self._round_t0:.1f}s)")
+                self._round_t0 = now
         return tuple(factors)
 
     def _factor_dispatch(self, matrix: SparseMatrix) -> None:
         # sentinel zero at the end: padded a_src entries contribute nothing
         nz = np.zeros(len(matrix.nzval) + 1, dtype=self.prec)
         nz[:-1] = matrix.nzval
+        self._ckpt = None
+        if self._ckpt_dir is not None:
+            import hashlib
+            from .checkpoint import FactorRoundCheckpointer
+            h = hashlib.sha1(nz.tobytes())
+            h.update(np.int64([self.flat_len, len(self.plans)]).tobytes())
+            self._ckpt = FactorRoundCheckpointer(self._ckpt_dir,
+                                                 h.hexdigest())
         nzval_ext = self._put(nz, None)
         # triangular solves lower to blocked matmuls that follow the
         # default matmul precision; bf16 passes would wreck a direct
         # solver. Scoped here (tracing happens inside) rather than flipped
         # process-globally — the GEMM call sites also pass HIGHEST
         # explicitly.
+        import time
+        self._round_t0 = time.perf_counter()
         with timed("factor dispatch"), jax.default_matmul_precision("highest"):
             if self._fuse_factor:
                 if self._factor_jit is None:

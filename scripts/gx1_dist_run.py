@@ -81,9 +81,15 @@ def main():
 
     import jax.numpy as jnp
     t0 = time.perf_counter()
+    # per-round factor checkpointing: the run resumes across process
+    # restarts / session budgets (the round-1 gx1 run died at round
+    # ~120/160 and lost everything)
+    ckpt_dir = os.environ.get("NK_RUN_CKPT",
+                              os.path.join(cache, f"fckpt_{size}"))
     fac = MultifrontalFactorization(matrix, impl="jax", maps=maps, sym=sym,
                                     n_devices=ndev, precision=jnp.float32,
-                                    refine_tol=1e-11)
+                                    refine_tol=1e-11,
+                                    factor_checkpoint_dir=ckpt_dir or None)
     t_factor = time.perf_counter() - t0
     print(f"distributed factor {t_factor:.1f}s", flush=True)
 

@@ -105,3 +105,52 @@ def test_factor_checkpoint_roundtrip(tmp_path):
                                      maps=load_ind_maps(mat2))
     with pytest.raises(ValueError):
         load_factors(ckpt, fac3)
+
+
+def test_round_checkpoint_resume(tmp_path):
+    """Per-round factor checkpointing: a partially checkpointed
+    factorization resumes (loading completed rounds, recomputing the
+    rest) and produces an identical factorization; stale checkpoints
+    from different matrix values are ignored."""
+    import os
+    import shutil
+    circ = str(tmp_path / "circ.nc")
+    make_circ_file(circ, imt=14, jmt=12, km=4, seed=51)
+    mat = str(tmp_path / "m.nc")
+    pt = PerTracerOptions(sink_type="const", sink_rate=1e-4)
+    opts = AssemblyOptions(circ_fname=circ, hmix_type="const",
+                           vmix_type="file", per_tracer=[pt])
+    run_gen_a(mat, opts=opts)
+    matrix = read_matrix_file(mat)
+    maps = load_ind_maps(mat)
+    sym = symbolic_from_matrix(maps, matrix, leaf_size=8)
+    ck = str(tmp_path / "fckpt")
+
+    fac1 = MultifrontalFactorization(matrix, impl="jax", maps=maps, sym=sym,
+                                     factor_checkpoint_dir=ck)
+    n_rounds = len(fac1.engine.plans)
+    files = sorted(f for f in os.listdir(ck) if f.endswith(".npz"))
+    assert len(files) == n_rounds
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(matrix.flat_len)
+    x1 = fac1.solve(b, refine=False)
+
+    # simulate a crash that lost the tail rounds: delete the last two
+    # checkpoints (and any Schur files), then "restart"
+    for f in sorted(os.listdir(ck))[-4:]:
+        os.remove(os.path.join(ck, f))
+    fac2 = MultifrontalFactorization(matrix, impl="jax", maps=maps, sym=sym,
+                                     factor_checkpoint_dir=ck)
+    x2 = fac2.solve(b, refine=False)
+    np.testing.assert_allclose(x1, x2, rtol=0, atol=0)
+
+    # different matrix values must NOT resume from these checkpoints
+    m2 = read_matrix_file(mat)
+    m2 = type(m2)(nzval=np.asarray(m2.nzval) * 1.5, colind=m2.colind,
+                  rowptr=m2.rowptr, coupled_tracer_cnt=m2.coupled_tracer_cnt)
+    fac3 = MultifrontalFactorization(m2, impl="jax", maps=maps, sym=sym,
+                                     factor_checkpoint_dir=ck)
+    x3 = fac3.solve(b)
+    rel = np.linalg.norm(m2.to_scipy() @ x3 - b) / np.linalg.norm(b)
+    assert rel < 1e-9
+    shutil.rmtree(ck)
