@@ -108,6 +108,83 @@ def bench_mf(matrix, maps, B, tol, impl):
                 symbolic=t_sym)
 
 
+def bench_nk_loop(matrix, maps, B, tol, n_iter, cache_dir, size,
+                  baseline_s=None):
+    """The Newton-Krylov outer-loop workflow (BASELINE config 5; the
+    reference's reuse path is options.Fact=FACTORED, solve_ABdist.c:539):
+    per Newton iteration, the Jacobian gets NEW VALUES on the SAME
+    sparsity pattern — re-assemble, numeric refactor (symbolic plan and
+    compiled kernels reused), multi-RHS solve. Reports a per-iteration
+    cost table; iteration 0 is the cold factorization."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    from nk_ocn_tracer_jacobian_precond_tpu.io.matrixfile import SparseMatrix
+    from nk_ocn_tracer_jacobian_precond_tpu.solver.mf import (
+        MultifrontalFactorization)
+    from nk_ocn_tracer_jacobian_precond_tpu.solver.symbolic import (
+        symbolic_from_matrix)
+    from nk_ocn_tracer_jacobian_precond_tpu.drivers.gen_a import run_gen_a
+    from nk_ocn_tracer_jacobian_precond_tpu.ops import (
+        AssemblyOptions, PerTracerOptions)
+
+    t0 = time.perf_counter()
+    sym = symbolic_from_matrix(maps, matrix, leaf_size=16)
+    t_sym = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    fac = MultifrontalFactorization(matrix, impl="jax", maps=maps, sym=sym,
+                                    refine_tol=tol)
+    t_cold = time.perf_counter() - t0
+    print(f"# nk-loop: symbolic {t_sym:.2f}s (once), cold factor "
+          f"{t_cold:.2f}s (compiles cached persistently)", file=sys.stderr)
+    rows = []
+    rng = np.random.default_rng(42)
+    nzval0 = np.asarray(matrix.nzval)
+    circ = os.path.join(cache_dir, f"circ_{size}.nc")
+    for it in range(1, n_iter + 1):
+        # new Jacobian values, same pattern: multiplicative perturbation
+        # (zeros stay zeros, signs preserved) — the shape of a Newton
+        # update of the linearization point
+        t0 = time.perf_counter()
+        pt = PerTracerOptions(sink_type="const", sink_rate=1.21e-4)
+        opts = AssemblyOptions(circ_fname=circ, adv_type="centered",
+                               hmix_type="isop_file", vmix_type="file",
+                               per_tracer=[pt])
+        m_it = run_gen_a(os.path.join(cache_dir, f"matrix_{size}_nk.nc"),
+                         opts=opts)
+        t_asm = time.perf_counter() - t0
+        nz = nzval0 * (1.0 + 1e-3 * rng.standard_normal(len(nzval0)))
+        m_new = SparseMatrix(nzval=nz, colind=matrix.colind,
+                             rowptr=matrix.rowptr,
+                             coupled_tracer_cnt=matrix.coupled_tracer_cnt)
+        t0 = time.perf_counter()
+        fac.refactor(m_new)
+        t_fac = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        X = fac.solve(B)
+        t_solve = time.perf_counter() - t0
+        res = _residual(m_new, X, B)
+        rows.append(dict(it=it, assemble=t_asm, refactor=t_fac,
+                         solve=t_solve, residual=res))
+        print(f"# it {it}: assemble {t_asm:.2f}s refactor {t_fac:.2f}s "
+              f"solve {t_solve:.3f}s residual {res:.2e}", file=sys.stderr)
+    steady = rows[1:] if len(rows) > 1 else rows
+    per_it = float(np.mean([r["assemble"] + r["refactor"] + r["solve"]
+                            for r in steady]))
+    ok = all(r["residual"] <= 1e-10 for r in rows)
+    print(json.dumps({
+        "metric": f"NK outer-loop per-iteration cost (assemble+refactor+"
+                  f"{B.shape[1]}-rhs solve), {size} grid"
+                  + ("" if ok else " [RESIDUAL NOT MET]"),
+        "value": round(per_it, 4), "unit": "s",
+        "vs_baseline": (round(baseline_s / per_it, 3)
+                        if baseline_s and per_it > 0 else 0.0),
+        "iterations": rows,
+        "symbolic_s_once": round(t_sym, 2),
+        "cold_factor_s_once": round(t_cold, 2),
+    }, default=float))
+    return rows
+
+
 def _residual(matrix, X, B):
     A = matrix.to_scipy()
     r = A @ X - B
@@ -125,6 +202,10 @@ def main():
     p.add_argument("--reuse-baseline", action="store_true",
                    help="reuse a previously measured scipy baseline for "
                         "this size (exploration; default measures fresh)")
+    p.add_argument("--nk-loop", type=int, default=0, metavar="N",
+                   help="run N Newton-Krylov outer iterations (new values, "
+                        "same pattern: assemble + refactor + solve each) "
+                        "and report the per-iteration cost table")
     args = p.parse_args()
 
     matrix, maps = build_problem(args.size, args.cache)
@@ -145,6 +226,12 @@ def main():
               f"residual {s_res:.2e}", file=sys.stderr)
         with open(base_cache, "w") as f:
             json.dump([s_factor, s_solve, s_res], f)
+    if args.nk_loop:
+        # per-Newton-iteration baseline: sequential SuperLU re-factors +
+        # re-solves every iteration (it has no numeric-reuse path)
+        bench_nk_loop(matrix, maps, B, args.tol, args.nk_loop, args.cache,
+                      args.size, baseline_s=s_factor + s_solve)
+        return
     m = bench_mf(matrix, maps, B, args.tol, args.impl)
 
     ok = m["res"] <= 1e-10

@@ -40,13 +40,19 @@ def run(n_devices: int) -> None:
     from .mesh import make_mesh
     from .stencil import StencilOperator
 
-    asm, maps = make_demo_assembly(imt=16, jmt=16, km=4,
-                                   adv_type="upwind3", hmix_type="isop_file")
-    nzval, colind, rowptr = to_csr(asm)
-    matrix = SparseMatrix(nzval=nzval, colind=colind, rowptr=rowptr,
-                          coupled_tracer_cnt=asm.nt)
+    def build(**opt_kw):
+        asm, maps = make_demo_assembly(imt=16, jmt=16, km=4, **opt_kw)
+        nzval, colind, rowptr = to_csr(asm)
+        return asm, maps, SparseMatrix(nzval=nzval, colind=colind,
+                                       rowptr=rowptr,
+                                       coupled_tracer_cnt=asm.nt)
 
     # --- distributed factor + level-wave triangular solves ----------------
+    # PRIMARY: a gen_a-assembled transport Jacobian of the production
+    # option class (centered advection + IRF hmix + file vmix — what the
+    # reference's own workflow factors) must meet the 1e-10 workflow
+    # contract OUTRIGHT, not relative to SuperLU.
+    asm, maps, matrix = build(hmix_type="isop_file")
     fac = MultifrontalFactorization(matrix, impl="jax", maps=maps,
                                     n_devices=n_devices)
     eng = fac.engine
@@ -58,21 +64,32 @@ def run(n_devices: int) -> None:
     rng = np.random.default_rng(0)
     B = rng.standard_normal((matrix.flat_len, 3))
     X = fac.solve(B)
-
-    # cross-check against an independent factorization (scipy SuperLU).
-    # The synthetic upwind3+random-IRF matrix is genuinely ill-conditioned
-    # (chosen because it exercises the widest stencil), so the bar is
-    # SuperLU's own achieved residual on the same system, not an absolute
-    # tolerance.
     A = matrix.to_scipy()
-    from scipy.sparse.linalg import splu
-    X_ref = splu(A.tocsc()).solve(B)
     rel = np.linalg.norm(A @ X - B, axis=0) / np.linalg.norm(B, axis=0)
-    rel_ref = np.linalg.norm(A @ X_ref - B, axis=0) / np.linalg.norm(B, axis=0)
+    contract = 1e-10 if jax.config.jax_enable_x64 else 1e-6
+    assert rel.max() <= contract, \
+        f"distributed residual {rel.max():.3e} misses the " \
+        f"{contract:.0e} workflow contract"
+
+    # SECONDARY: a deliberately ill-conditioned synthetic (upwind3 +
+    # random IRF — the widest stencil); here the bar is SuperLU's own
+    # achieved residual on the same system, as in the reference.
+    asm2, maps2, matrix2 = build(adv_type="upwind3", hmix_type="isop_file")
+    fac2 = MultifrontalFactorization(matrix2, impl="jax", maps=maps2,
+                                     n_devices=n_devices)
+    B2 = rng.standard_normal((matrix2.flat_len, 3))
+    X2 = fac2.solve(B2)
+    A2 = matrix2.to_scipy()
+    from scipy.sparse.linalg import splu
+    X2_ref = splu(A2.tocsc()).solve(B2)
+    rel2 = np.linalg.norm(A2 @ X2 - B2, axis=0) / np.linalg.norm(B2, axis=0)
+    rel2_ref = (np.linalg.norm(A2 @ X2_ref - B2, axis=0)
+                / np.linalg.norm(B2, axis=0))
     floor = 1e-10 if jax.config.jax_enable_x64 else 1e-7
-    bar = max(floor, 10.0 * rel_ref.max())
-    assert rel.max() <= bar, \
-        f"distributed residual {rel.max():.3e} vs SuperLU {rel_ref.max():.3e}"
+    bar = max(floor, 10.0 * rel2_ref.max())
+    assert rel2.max() <= bar, \
+        f"ill-conditioned residual {rel2.max():.3e} vs SuperLU " \
+        f"{rel2_ref.max():.3e}"
 
     # --- sharded stencil SpMV (the refinement operator) -------------------
     op = StencilOperator.from_assembly(asm)
@@ -90,8 +107,9 @@ def run(n_devices: int) -> None:
         "sharded stencil SpMV mismatch"
 
     print(f"dryrun ok: {n_devices} devices, {sharded} sharded factor "
-          f"rounds, max residual {rel.max():.3e} "
-          f"(SuperLU on same system: {rel_ref.max():.3e})")
+          f"rounds, transport-matrix residual {rel.max():.3e} <= "
+          f"{contract:.0e} contract; ill-conditioned secondary "
+          f"{rel2.max():.3e} (SuperLU on same system: {rel2_ref.max():.3e})")
 
 
 def main(argv=None) -> int:
