@@ -38,7 +38,8 @@ def parse_var_groups(vars_arg: str, coupled_tracer_cnt: int) -> list[list[str]]:
 
 def run_solve(matrix_fname: str, inout_fname: str, vars_arg: str,
               backend: str = "auto", dbg_lvl: int = 0,
-              check_residual: bool = True, n_devices: int | None = None) -> dict:
+              check_residual: bool = True, n_devices: int | None = None,
+              rhs_chunk: int = 32, rhs_devices: int = 1) -> dict:
     set_dbg_lvl(dbg_lvl)
     with timed("get_sparse_matrix"):
         matrix = read_matrix_file(matrix_fname)
@@ -55,38 +56,50 @@ def run_solve(matrix_fname: str, inout_fname: str, vars_arg: str,
         kwargs["maps"] = maps
         if n_devices is not None:
             kwargs["n_devices"] = n_devices
+        if rhs_devices > 1:
+            kwargs["rhs_devices"] = rhs_devices
     with timed("factor"):
         fac = factor(matrix, backend=backend, **kwargs)
 
-    # gather all RHS groups, solve them in one batched call (multi-RHS
-    # amortization: the reference loops one var at a time, ABglobal.c:370;
-    # batching them is strictly better on TPU), then scatter back
-    hdr = netcdf3.read_header(inout_fname)
-    fields_3d = {}
-    B = np.empty((matrix.flat_len, len(groups)))
-    for g, group in enumerate(groups):
-        for t, var in enumerate(group):
-            dbg(1, f"reading {var} from {inout_fname}")
-            f3 = fields.get_var_double(inout_fname, var, 3, hdr)
-            fields_3d[var] = f3
-            B[t * tsl:(t + 1) * tsl, g] = maps.flatten_field(f3)
-
-    with timed("solve"):
-        X = fac.solve(B)
-    X = np.asarray(X)
-    if X.ndim == 1:
-        X = X[:, None]
-
+    # Solve RHS groups in bounded batches (multi-RHS amortization: the
+    # reference loops one var at a time, ABglobal.c:370; batching is
+    # strictly better on TPU). Staging is STREAMED rhs_chunk groups at a
+    # time — the rebuild of get_B_dist/put_B_dist's bounded per-rank RHS
+    # segments (solve_ABdist.c:248-418): host and device RHS memory stay
+    # O(flat_len * rhs_chunk) however many tracer variables the run
+    # covers, and each chunk is written back in place before the next is
+    # read. Under a mesh with an "rhs" axis the chunk additionally shards
+    # across device groups (parallel/mesh.py).
     results = {"residuals": {}, "groups": groups}
-    for g, group in enumerate(groups):
-        if check_residual:
-            res = residual_norm(matrix, X[:, g], B[:, g])
-            results["residuals"][",".join(group)] = res
-            dbg(1, f"relative residual for {group}: {res:.3e}")
-        for t, var in enumerate(group):
-            f3 = maps.unflatten_into(fields_3d[var], X[t * tsl:(t + 1) * tsl, g])
-            dbg(1, f"writing {var} to {inout_fname}")
-            fields.put_var_inplace(inout_fname, var, f3)
+    hdr = netcdf3.read_header(inout_fname)
+    chunk = max(1, rhs_chunk)
+    for lo in range(0, len(groups), chunk):
+        gchunk = groups[lo:lo + chunk]
+        fields_3d = {}
+        B = np.empty((matrix.flat_len, len(gchunk)))
+        for g, group in enumerate(gchunk):
+            for t, var in enumerate(group):
+                dbg(1, f"reading {var} from {inout_fname}")
+                f3 = fields.get_var_double(inout_fname, var, 3, hdr)
+                fields_3d[var] = f3
+                B[t * tsl:(t + 1) * tsl, g] = maps.flatten_field(f3)
+
+        with timed("solve"):
+            X = fac.solve(B)
+        X = np.asarray(X)
+        if X.ndim == 1:
+            X = X[:, None]
+
+        for g, group in enumerate(gchunk):
+            if check_residual:
+                res = residual_norm(matrix, X[:, g], B[:, g])
+                results["residuals"][",".join(group)] = res
+                dbg(1, f"relative residual for {group}: {res:.3e}")
+            for t, var in enumerate(group):
+                f3 = maps.unflatten_into(fields_3d[var],
+                                         X[t * tsl:(t + 1) * tsl, g])
+                dbg(1, f"writing {var} to {inout_fname}")
+                fields.put_var_inplace(inout_fname, var, f3)
     return results
 
 

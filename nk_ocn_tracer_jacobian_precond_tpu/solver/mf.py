@@ -17,28 +17,51 @@ from ..utils import dbg, timed
 from .symbolic import SymbolicFactorization, symbolic_from_matrix
 
 
-def equilibrate(matrix: SparseMatrix):
-    """Power-of-2 row/column equilibration (the rebuild of SuperLU's
-    dgsequ/dlaqgs scaling step, which the reference's pdgssvx drivers run
-    by default). Scaling by exact powers of two keeps the scaled entries
-    bit-representable and dramatically reduces no-pivot element growth in
-    the low-precision factorization. Returns (scaled_matrix, dr, dc) with
+def equilibrate(matrix: SparseMatrix, ruiz_iters: int = 8):
+    """Iterated (Ruiz) row/column equilibration, powers of two.
+
+    The rebuild of SuperLU's dgsequ/dlaqgs scaling step (which the
+    reference's pdgssvx drivers run by default), strengthened: instead of
+    one row-max pass then one column-max pass, scale both sides by
+    1/sqrt(max|.|) repeatedly until every row and column max is within
+    [1/2, 2]. Simultaneous convergence on both sides measurably reduces
+    no-pivot element growth in the float32 factorization at depth
+    (60-level problems), which is what bounds the refinement cycle count.
+    Scaling by exact powers of two keeps the scaled entries
+    bit-representable. Returns (scaled_matrix, dr, dc) with
     (Dr A Dc) y = Dr b, x = Dc y."""
     from scipy.sparse import csr_matrix
 
     A = matrix.to_scipy().tocsr()
     n = A.shape[0]
-    absA = abs(A)
-    rmax = np.asarray(absA.max(axis=1).todense()).ravel()
-    rmax[rmax == 0] = 1.0
-    dr = np.exp2(-np.round(np.log2(rmax)))
-    As = csr_matrix((A.data * np.repeat(dr, np.diff(A.indptr)),
-                     A.indices, A.indptr), shape=A.shape)
-    cmax = np.asarray(abs(As).max(axis=0).todense()).ravel()
-    cmax[cmax == 0] = 1.0
-    dc = np.exp2(-np.round(np.log2(cmax)))
-    As = csr_matrix((As.data * dc[As.indices], As.indices, As.indptr),
-                    shape=A.shape)
+    rowcnt = np.diff(A.indptr)
+    rows = np.repeat(np.arange(n), rowcnt)
+    cols = A.indices
+    a = np.abs(A.data)
+    la0 = np.log2(np.where(a > 0, a, 1.0))
+    ldr = np.zeros(n)
+    ldc = np.zeros(n)
+    for _ in range(ruiz_iters):
+        la = la0 - ldr[rows] - ldc[cols]
+        rmax = np.full(n, -np.inf)
+        np.maximum.at(rmax, rows, la)
+        rmax[~np.isfinite(rmax)] = 0.0
+        cmax = np.full(n, -np.inf)
+        np.maximum.at(cmax, cols, la)
+        cmax[~np.isfinite(cmax)] = 0.0
+        if max(np.abs(rmax).max(initial=0.0),
+               np.abs(cmax).max(initial=0.0)) <= 1.0:
+            break
+        # simultaneous sqrt steps (Ruiz): both sides move by half their
+        # log-deviation each sweep, which contracts geometrically where
+        # full alternating steps oscillate on rows/columns that share
+        # extreme entries
+        ldr += rmax / 2
+        ldc += cmax / 2
+    dr = np.exp2(-np.round(ldr))
+    dc = np.exp2(-np.round(ldc))
+    data = A.data * dr[rows] * dc[cols]
+    As = csr_matrix((data, A.indices, A.indptr), shape=A.shape)
     scaled = SparseMatrix(nzval=As.data, colind=As.indices.astype(np.int64),
                           rowptr=As.indptr.astype(np.int64),
                           coupled_tracer_cnt=matrix.coupled_tracer_cnt)
@@ -51,7 +74,8 @@ class MultifrontalFactorization:
                  maps=None, sym: SymbolicFactorization | None = None,
                  n_devices: int | None = None, equilibrate_matrix: bool = True,
                  mesh=None, precision=None,
-                 factor_checkpoint_dir: str | None = None):
+                 factor_checkpoint_dir: str | None = None,
+                 rhs_devices: int = 1):
         self.matrix = matrix
         self.A = matrix.to_scipy()
         self.refine_tol = refine_tol
@@ -62,7 +86,7 @@ class MultifrontalFactorization:
             # a silently-ignored parallelism flag is worse than an
             # unsupported one.
             from ..parallel.mesh import make_mesh
-            mesh = make_mesh(n_devices, ("front",))
+            mesh = make_mesh(n_devices, ("front",), rhs_devices=rhs_devices)
         self.mesh = mesh
         if mesh is not None and impl in ("auto", "numpy"):
             impl = "jax"

@@ -353,10 +353,14 @@ def _extend_add(F, S_src, src_slots, dst_slots, inv):
 
     The row selection is a major-axis gather. The COLUMN selection is
     backend-dependent (measured on real v5e + XLA:CPU, round 2):
-      * TPU: gather -> transpose -> gather (both gathers major-axis;
-        20-30%% faster than the round-1 one-hot GEMM at every front
-        width, and free of the minor-axis gather kernel fault the
-        one-hot GEMM originally worked around);
+      * TPU: one-hot GEMM on the MXU. A gather->transpose->gather
+        formulation benchmarked 20-30%% faster standalone, but XLA:TPU's
+        gather kernel faults the worker process at gx3deep-class front
+        shapes inside the real factor program (reproduced twice on v5e,
+        2026-08-17; round 1 hit the same fault from every minor-axis
+        formulation) — selection-by-matmul is the only formulation that
+        has never crashed, and is exact (one unit coefficient per output
+        at HIGHEST precision);
       * CPU: take_along_axis minor-axis gather — the one-hot GEMM's
         N^2*M flops are 3.6x slower than memory ops on the host, and
         the simulated-mesh gx1 run lives on this path."""
@@ -378,21 +382,33 @@ def _extend_add(F, S_src, src_slots, dst_slots, inv):
             idx = jnp.broadcast_to(iv[:, None, :], (hi - lo, N, N))
             adds = jnp.take_along_axis(rows, idx, axis=2)
         else:
-            rowsT = rows.transpose(0, 2, 1)              # (Lc, M+1, N)
-            addsT = jax.vmap(lambda g, i: g[i])(rowsT, iv)   # (Lc, N, N)
-            adds = addsT.transpose(0, 2, 1)
+            onehot = (iv[:, :, None] == jnp.arange(Mp1)[None, None, :]
+                      ).astype(F.dtype)                  # (Lc, N, M+1)
+            adds = jnp.einsum("lak,lbk->lab", rows, onehot,
+                              precision=jax.lax.Precision.HIGHEST)
         F = F.at[dst_slots[lo:hi]].add(adds)
     return F
 
 
-def _pivoted_panel(Pan, off: int, p_arr):
+def _pivoted_panel(Pan, off: int, p_arr, tau=0.0):
     """Factor a tall panel (B, R, T) — rows [off, P), cols [off, off+T) —
     with partial pivoting restricted to fully-summed rows (global row <
     p_arr[b]; identity-padded rows never move). This is the restricted
     pivoting a multifrontal method allows (only fully-summed rows may be
     exchanged), which tames the element growth that unpivoted elimination
-    suffers on these transport matrices. Returns (factored panel, piv
-    sequence (B, T) of panel-relative row choices)."""
+    suffers on these transport matrices.
+
+    ``tau`` is the GESP static-pivot threshold (SuperLU_DIST's strategy,
+    reference SuperLU_brief_tree.txt:12-14): a selected pivot smaller in
+    magnitude than tau = sqrt(eps) * max|A| is replaced by sign * tau.
+    These transport Jacobians have near-singular pivot blocks at every
+    tree level (zero advective row sums), and unbounded 1/pivot is what
+    drove the measured ~1e9 element growth of the float32 factors — the
+    O(tau) factorization perturbation is repaid by iterative refinement
+    at a fraction of the Krylov cycles the growth used to cost.
+
+    Returns (factored panel, piv sequence (B, T) of panel-relative row
+    choices)."""
     B, R, T = Pan.shape
     rows_global = off + jnp.arange(R)
     r_idx = jnp.arange(R)[None, :]
@@ -411,6 +427,9 @@ def _pivoted_panel(Pan, off: int, p_arr):
         Pan = Pan.at[bidx, sel, :].set(rowk)
         piv = piv.at[:, k].set(sel.astype(jnp.int32))
         pv = Pan[:, k, k][:, None]
+        pv = jnp.where(jnp.abs(pv) < tau,
+                       jnp.where(pv < 0, -tau, tau), pv)
+        Pan = Pan.at[:, k, k].set(pv[:, 0])
         colv = Pan[:, :, k] / pv
         colv = jnp.where(r_idx > k, colv, 0.0)[:, :, None]
         rowv = jnp.where(jnp.arange(T)[None, :] > k, Pan[:, k, :], 0.0)[:, None, :]
@@ -524,7 +543,7 @@ def _finish_factor(F, lu, perm, P: int):
     return FP, L21, S, perm
 
 
-def _partial_factor_small_batch(F, P: int):
+def _partial_factor_small_batch(F, P: int, tau):
     """Root-of-tree rounds (tiny batch, large pivot block): XLA's native
     batched LU is ~7x faster there than the hand-blocked panel loop (which
     is latency-bound in its sequential column steps), while at large batch
@@ -534,12 +553,22 @@ def _partial_factor_small_batch(F, P: int):
     Unrestricted partial pivoting within F11 is exactly the multifrontal
     restriction: border rows are outside the block, and the identity
     padding forms a decoupled diagonal block that pivoting provably never
-    mixes with real rows (padding rows are zero in real columns)."""
+    mixes with real rows (padding rows are zero in real columns).
+
+    GESP pivot thresholding (see _pivoted_panel) is applied POST-HOC to
+    U's diagonal: with partial pivoting every L multiplier is <= 1, so
+    clamping U_kk to sign * tau afterwards perturbs L@U by at most tau
+    per entry — the same O(tau) backward error as thresholding inside
+    the elimination."""
     lu, piv, perm = jax.lax.linalg.lu(F[:, :P, :P])
+    ar = jnp.arange(P)
+    d = lu[:, ar, ar]
+    d = jnp.where(jnp.abs(d) < tau, jnp.where(d < 0, -tau, tau), d)
+    lu = lu.at[:, ar, ar].set(d)
     return _finish_factor(F, lu, perm.astype(jnp.int32), P)
 
 
-def _partial_factor_body(F, P: int, p_arr, use_pallas: bool = False,
+def _partial_factor_body(F, P: int, p_arr, tau=0.0, use_pallas: bool = False,
                          allow_native_lu: bool = True):
     """Blocked LU with restricted partial pivoting of F[:, :P, :P]; TRSM of
     the off-blocks; Schur update.
@@ -561,12 +590,13 @@ def _partial_factor_body(F, P: int, p_arr, use_pallas: bool = False,
     """
     N = F.shape[-1]
     B = F.shape[0]
+    tau = jnp.asarray(tau, F.dtype)
     if B <= 2 and allow_native_lu:
         # unsharded tree-top rounds only: XLA's LU custom call has no
         # GSPMD partitioning rule, so under a mesh the hand-blocked path
         # below (purely batch-elementwise ops + GEMMs) keeps the round
         # sharded instead of all-gathering the biggest fronts
-        return _partial_factor_small_batch(F, P)
+        return _partial_factor_small_batch(F, P, tau)
     perm_total = jnp.tile(jnp.arange(P, dtype=jnp.int32)[None, :], (B, 1))
     nb = (P + PANEL - 1) // PANEL
     for t in range(nb):
@@ -577,11 +607,11 @@ def _partial_factor_body(F, P: int, p_arr, use_pallas: bool = False,
         if use_pallas and F.dtype == jnp.float32:
             from .pallas_kernels import pallas_pivoted_panel, panel_fits_vmem
             if panel_fits_vmem(R, T):
-                Pan, piv = pallas_pivoted_panel(Pan, off, p_arr)
+                Pan, piv = pallas_pivoted_panel(Pan, off, p_arr, tau)
             else:
-                Pan, piv = _pivoted_panel(Pan, off, p_arr)
+                Pan, piv = _pivoted_panel(Pan, off, p_arr, tau)
         else:
-            Pan, piv = _pivoted_panel(Pan, off, p_arr)
+            Pan, piv = _pivoted_panel(Pan, off, p_arr, tau)
         pperm = _seq_to_perm(piv, R)
         # permute the panel rows' other columns, then write the factored
         # panel into place
@@ -627,9 +657,12 @@ def _partial_factor_body(F, P: int, p_arr, use_pallas: bool = False,
     # preconditioner); U12/L21 were already TRSM'd in place by the panel
     # loop. Layout matches _finish_factor (packed K).
     LU11 = F[:, :P, :P]
+    import os
+    if os.environ.get("NK_INV64"):   # experiment: f64-emulated inversion
+        LU11 = LU11.astype(jnp.float64)
     Linv = _block_tri_inv(LU11, lower=True, unit_diagonal=True)
     Uinv = _block_tri_inv(LU11, lower=False, unit_diagonal=False)
-    K = jnp.tril(Linv, -1) + jnp.triu(Uinv)
+    K = (jnp.tril(Linv, -1) + jnp.triu(Uinv)).astype(F.dtype)
     FP = jnp.concatenate([K, F[:, :P, P:]], axis=2)
     return FP, F[:, P:, :P], S, perm_total
 
@@ -763,6 +796,24 @@ class JaxMultifrontal:
         else:
             spec = PartitionSpec(*([None] * nd))
         return jax.device_put(np.asarray(arr), NamedSharding(self.mesh, spec))
+
+    def _put_rhs(self, W):
+        """Stage a solve workspace (flat_len+1, nrhs): sharded over the
+        mesh's "rhs" axis when one exists and divides nrhs (data-parallel
+        multi-RHS — the TPU-native get_B_dist, parallel/mesh.py), else
+        replicated. Every per-round gather/GEMM of the solve program is
+        batch-parallel in the RHS axis, so the rhs-sharded program runs
+        with no collectives at all."""
+        if self.mesh is None:
+            return jnp.asarray(W)
+        from jax.sharding import NamedSharding, PartitionSpec
+        nrhs = W.shape[1]
+        if "rhs" in self.mesh.axis_names \
+                and nrhs % self.mesh.shape["rhs"] == 0:
+            spec = PartitionSpec(None, "rhs")
+        else:
+            spec = PartitionSpec(None, None)
+        return jax.device_put(np.asarray(W), NamedSharding(self.mesh, spec))
 
     # big-front rounds with fewer real fronts than devices shard their
     # factor ARRAYS along a front axis instead of the batch axis — the
@@ -938,7 +989,7 @@ class JaxMultifrontal:
                     if ckpt is not None:
                         ckpt.drop_schur(src_rnd)
             FP, L21, S, perm = _partial_factor(
-                F, P=plan.P, p_arr=cc["p_arr"],
+                F, P=plan.P, p_arr=cc["p_arr"], tau=self._tau,
                 use_pallas=self._use_pallas,
                 allow_native_lu=self.mesh is None)
             FP, L21 = self._shard_factors(plan, FP, L21)
@@ -969,6 +1020,15 @@ class JaxMultifrontal:
         # sentinel zero at the end: padded a_src entries contribute nothing
         nz = np.zeros(len(matrix.nzval) + 1, dtype=self.prec)
         nz[:-1] = matrix.nzval
+        # GESP static-pivot threshold (see _pivoted_panel): sqrt(eps) of
+        # the factor precision times the (equilibrated) matrix magnitude —
+        # sqrt equalizes the two error sources it trades (1/pivot growth
+        # ~ 1/tau vs factorization perturbation ~ tau). Passed as a traced
+        # scalar, so kernels cache across Newton iterations whose amax
+        # drifts.
+        eps = float(np.finfo(self.prec).eps)
+        amax = float(np.max(np.abs(nz))) if len(matrix.nzval) else 1.0
+        self._tau = float(np.float32(np.sqrt(eps) * amax))
         self._ckpt = None
         if self._ckpt_dir is not None:
             import hashlib
@@ -1034,7 +1094,7 @@ class JaxMultifrontal:
         # the point the factors are resident
         Wh = np.zeros((self.flat_len + 1, nrhs), dtype=self.prec)
         Wh[:self.flat_len] = B
-        W = self._put(Wh, None)     # replicated under a mesh
+        W = self._put_rhs(Wh)       # rhs-axis sharded if the mesh has one
         with jax.default_matmul_precision("highest"):
             W = self._solve_jit[nrhs](W, self.factors, self._flatten_consts())
         X = np.asarray(W[:self.flat_len], dtype=np.float64)

@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 _MAX_R = 8192
 
 
-def _panel_body(limit, pan_ref, piv_ref, *, T: int):
+def _panel_body(limit, tau, pan_ref, piv_ref, *, T: int):
     """Factor one (R, T) panel in place; record pivot rows in piv_ref.
 
     limit: number of panel rows eligible for pivoting (fully-summed rows
@@ -47,6 +47,10 @@ def _panel_body(limit, pan_ref, piv_ref, *, T: int):
     identity padding or border rows and must never be chosen — except
     that column k may always pivot on its own diagonal (the identity
     padding guarantees a unit pivot there).
+
+    tau: GESP static-pivot threshold (mf_jax._pivoted_panel): a selected
+    pivot with |pv| < tau is replaced by sign(pv) * tau before the
+    division, bounding 1/pivot element growth.
     """
     R = pan_ref.shape[0]
     r_idx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
@@ -75,8 +79,11 @@ def _panel_body(limit, pan_ref, piv_ref, *, T: int):
                          keepdims=True)
         P = jnp.where(r_idx == k, rowsel, P)
         P = jnp.where((r_idx == sel) & (sel != k), rowk, P)
-        # pivot value and the swapped column k
+        # pivot value and the swapped column k; GESP threshold tiny pivots
         pv = jnp.sum(jnp.where(c_idx == k, rowsel, f0))
+        pv = jnp.where(jnp.abs(pv) < tau,
+                       jnp.where(pv < f0, -tau, tau), pv)
+        P = jnp.where((c_idx == k) & (r_idx == k), pv, P)
         colv = jnp.sum(jnp.where(c_idx == k, P, f0), axis=1,
                        keepdims=True)
         colv = jnp.where(r_idx > k, colv / pv, f0)           # L multipliers
@@ -93,11 +100,13 @@ def _panel_body(limit, pan_ref, piv_ref, *, T: int):
 
 
 @functools.partial(jax.jit, static_argnames=("off", "interpret"))
-def pallas_pivoted_panel(Pan, off: int, p_arr, interpret: bool = False):
+def pallas_pivoted_panel(Pan, off: int, p_arr, tau=0.0,
+                         interpret: bool = False):
     """Batched restricted-pivot panel LU — Pallas version of
     mf_jax._pivoted_panel. Pan (B, R, T) float32; p_arr (B,) true
-    eliminated counts. Returns (factored panel, piv (B, T) panel-relative
-    pivot choices), bit-identical semantics to the XLA formulation."""
+    eliminated counts; tau the GESP pivot threshold. Returns (factored
+    panel, piv (B, T) panel-relative pivot choices), bit-identical
+    semantics to the XLA formulation."""
     B, R, T = Pan.shape
     # None squeezes the grid dim out of the in-kernel refs (a literal
     # `.at[0]` sub-ref index lowers as i64 under jax_enable_x64, which
@@ -109,12 +118,13 @@ def pallas_pivoted_panel(Pan, off: int, p_arr, interpret: bool = False):
     piv_spec = pl.BlockSpec((None, 8, T), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     p_spec = pl.BlockSpec(memory_space=pltpu.SMEM)   # whole (B,) in SMEM
+    tau_spec = pl.BlockSpec(memory_space=pltpu.SMEM)  # (1,) f32 in SMEM
 
-    def kernel(p_ref, pan_in, pan_out, piv_ref):
+    def kernel(p_ref, tau_ref, pan_in, pan_out, piv_ref):
         pan_out[:, :] = pan_in[:, :]
         piv_ref[:, :] = jnp.zeros((8, T), jnp.int32)
         _panel_body(p_ref[pl.program_id(0)] - jnp.int32(off),
-                    pan_out, piv_ref, T=T)
+                    tau_ref[0], pan_out, piv_ref, T=T)
 
     # trace the kernel with x64 OFF regardless of the session setting:
     # stray f64/i64 scalars (Python literals, loop indices) send Mosaic's
@@ -125,7 +135,7 @@ def pallas_pivoted_panel(Pan, off: int, p_arr, interpret: bool = False):
         out, piv = pl.pallas_call(
             kernel,
             grid=(B,),
-            in_specs=[p_spec, pan_spec],
+            in_specs=[p_spec, tau_spec, pan_spec],
             out_specs=(pan_spec, piv_spec),
             out_shape=(jax.ShapeDtypeStruct((B, R, T), Pan.dtype),
                        jax.ShapeDtypeStruct((B, 8, T), jnp.int32)),
@@ -138,7 +148,8 @@ def pallas_pivoted_panel(Pan, off: int, p_arr, interpret: bool = False):
             cost_estimate=pl.CostEstimate(
                 flops=2 * B * R * T * T, transcendentals=0,
                 bytes_accessed=2 * B * R * T * 4),
-        )(p_arr.astype(jnp.int32), Pan)
+        )(p_arr.astype(jnp.int32),
+          jnp.asarray(tau, jnp.float32).reshape(1), Pan)
     return out, piv[:, 0, :]
 
 

@@ -151,26 +151,29 @@ class DeviceRefiner:
         self._dc = put(np.asarray(dc if dc is not None else one,
                                   dtype=np.float64), None)
         self._cycle_jit = {}
+        self._fused_jit = {}
 
     # -- building blocks (traced inside the cycle program) -----------------
 
-    def _env(self, dtype):
+    def _env(self, dtype=None):
         """Every large device array the programs touch, passed as jit
         ARGUMENTS — closing over them would bake gigabytes of factors into
-        the compiled executable as constants."""
+        the compiled executable as constants. Both ELL precisions ride
+        along: _spmv picks by operand dtype (the fused program computes
+        float64 outer residuals around float32 inner cycles)."""
         return dict(factors=self.engine.factors,
                     consts=self.engine._flatten_consts(),
-                    ell_val=(self._ell_val32 if dtype == jnp.float32
-                             else self._ell_val64),
+                    ell_val32=self._ell_val32, ell_val64=self._ell_val64,
                     ell_col=self._ell_col,
                     dr=self._dr, dc=self._dc)
 
     def _spmv(self, env, x):
-        """y = A x in the Krylov working precision; x (n, nrhs)."""
+        """y = A x in x's precision; x (n, nrhs)."""
+        vals = (env["ell_val64"] if x.dtype == jnp.float64
+                else env["ell_val32"])
         xp = jnp.concatenate(
             [x, jnp.zeros((1, x.shape[1]), dtype=x.dtype)], axis=0)
-        return jnp.sum(env["ell_val"][:, :, None] * xp[env["ell_col"]],
-                       axis=1)
+        return jnp.sum(vals[:, :, None] * xp[env["ell_col"]], axis=1)
 
     def _precond(self, env, v):
         """M^-1 v: scale, float32 multifrontal solve, unscale; the result
@@ -182,7 +185,48 @@ class DeviceRefiner:
         W = eng._solve_program(W, env["factors"], env["consts"])
         return env["dc"].astype(v.dtype)[:, None] * W[:self.n].astype(v.dtype)
 
-    def _make_cycle(self, m: int, nrhs: int, dtype=jnp.float32):
+    def _make_fused(self, m: int, nrhs: int, K: int, dtype=jnp.float32):
+        """K chained restart cycles in ONE device program: between cycles
+        the outer residual r = b - A x is recomputed ON DEVICE in float64
+        (the ELL SpMV is elementwise mul + row-sum — no f64 matmul, so the
+        only error is the ~2^-48 emulated-f64 mantissa per term), and the
+        loop exits early on reaching tol or on stall. The per-outer
+        host<->device round trip (~0.9 s of a 1.1 s outer on the tunneled
+        chip at gx3deep) is paid ONCE per solve instead of once per cycle;
+        a final host-side float64-exact residual check still gates
+        acceptance (solve()), so the device loop can never silently
+        under-deliver."""
+        cycle = self._cycle_body(m, nrhs, dtype)
+
+        def fused(b, X0, env, tol):
+            bnorm = jnp.linalg.norm(b, axis=0)
+            bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
+
+            def cond(carry):
+                X, rel, prev, k = carry
+                improving = (rel < 0.7 * prev) | (k < 2)
+                return (k < K) & (rel > tol) & improving
+
+            def body(carry):
+                X, rel, prev, k = carry
+                R = b - self._spmv(env, X)               # device f64
+                rel_now = jnp.max(jnp.linalg.norm(R, axis=0) / bnorm)
+                rel_now = rel_now.astype(jnp.float64)
+                d = cycle(R.astype(dtype), env)
+                X = X + d.astype(b.dtype)
+                return X, rel_now, rel, k + jnp.int32(1)
+
+            inf = jnp.array(jnp.inf, jnp.float64)
+            init = (X0, inf, inf, jnp.array(0, jnp.int32))
+            X, rel, _, k = jax.lax.while_loop(cond, body, init)
+            # rel is the residual BEFORE the last correction (one-step
+            # lag keeps the loop at one SpMV per cycle); the host makes
+            # the exact call
+            return X, rel, k
+
+        return jax.jit(fused)
+
+    def _cycle_body(self, m: int, nrhs: int, dtype=jnp.float32):
         n = self.n
 
         def cycle(b, env):
@@ -233,7 +277,10 @@ class DeviceRefiner:
             y = _givens_lstsq(H, beta, m)                   # (m, nrhs)
             return jnp.einsum("inr,ir->nr", Z, y)
 
-        return jax.jit(cycle)
+        return cycle
+
+    def _make_cycle(self, m: int, nrhs: int, dtype=jnp.float32):
+        return jax.jit(self._cycle_body(m, nrhs, dtype))
 
     # -- host driver --------------------------------------------------------
 
@@ -262,6 +309,7 @@ class DeviceRefiner:
         applied_ir = False
         prev = np.inf
         stall = 0
+        Bd = None    # device f64 copy of the padded RHS, staged once
         with timed("refine (gmres-ir3)"), \
                 jax.default_matmul_precision("highest"):
             # progress-based termination: keep cycling while each outer
@@ -285,12 +333,13 @@ class DeviceRefiner:
                     self._phase = "gmres"
                 elif phase == "gmres" and rel > 0.5 * prev:
                     if rel <= 1e3 * self.tol:
-                        # stalled within sight of the target: this is the
-                        # float64 attainable floor (kappa_Skeel * eps64 —
-                        # SuperLU's own refined residual sits here too)
-                        dbg(1, "refine: converged to the attainable floor")
-                        break
-                    if self._m < self.m:
+                        # the fused loop stalled within sight of the
+                        # target — usually the DEVICE residual floor
+                        # (emulated f64 SpMV, ~2^-35 effective), not the
+                        # true attainable floor. Push further with
+                        # host-exact single-cycle corrections.
+                        phase = "polish"
+                    elif self._m < self.m:
                         # stalled with a shallow Krylov space: deepen it
                         # before paying for emulated-f64 arithmetic
                         self._m = min(2 * self._m, self.m)
@@ -311,6 +360,12 @@ class DeviceRefiner:
                     # round trip
                     self._m = min(2 * self._m, self.m)
                     dbg(1, f"refine: deepening inner cycle to m={self._m}")
+                elif phase == "polish" and rel > 0.5 * prev:
+                    # exact-residual corrections stalled too: the true
+                    # attainable floor (kappa_Skeel * eps64 — SuperLU's
+                    # own refined residual sits here as well)
+                    dbg(1, "refine: converged to the attainable floor")
+                    break
                 elif phase == "gmres64":
                     stall = stall + 1 if rel > 0.7 * prev else 0
                     if stall >= 2:
@@ -320,16 +375,35 @@ class DeviceRefiner:
                 if phase == "ir":
                     X = X + self.precond_host(R)
                     applied_ir = True
+                elif phase == "polish":
+                    # single restart cycle fed the host-exact residual:
+                    # pushes below the fused loop's device-residual floor
+                    m_cur = self._m
+                    key = (m_cur, padn, "polish")
+                    if key not in self._cycle_jit:
+                        self._cycle_jit[key] = self._make_cycle(
+                            m_cur, padn, dtype=jnp.float32)
+                    d = self._cycle_jit[key](
+                        put(R.astype(np.float32), None),
+                        self._env(jnp.float32))
+                    X = X + np.asarray(d, dtype=np.float64)
                 else:
-                    dt = np.float32 if phase == "gmres" else np.float64
+                    # one FUSED dispatch: up to max_cycles restart cycles
+                    # with device-side f64 outer residuals between them
+                    # (see _make_fused); this host loop re-checks exactly
+                    # and only re-dispatches on genuine stall/deepening
                     jdt = jnp.float32 if phase == "gmres" else jnp.float64
                     m_cur = self._m if phase == "gmres" else self.m
                     key = (m_cur, padn, phase)
-                    if key not in self._cycle_jit:
-                        self._cycle_jit[key] = self._make_cycle(
-                            m_cur, padn, dtype=jdt)
-                    d = self._cycle_jit[key](
-                        put(R.astype(dt), None), self._env(jdt))
-                    X = X + np.asarray(d, dtype=np.float64)
+                    if key not in self._fused_jit:
+                        self._fused_jit[key] = self._make_fused(
+                            m_cur, padn, K=self.max_cycles, dtype=jdt)
+                    if Bd is None:
+                        Bd = put(Bp, None)
+                    Xd, rel_est, k = self._fused_jit[key](
+                        Bd, put(X, None), self._env(jdt), self.tol)
+                    X = np.asarray(Xd, dtype=np.float64)
+                    dbg(1, f"refine: fused {int(k)} x m={m_cur} cycles, "
+                           f"device residual estimate {float(rel_est):.3e}")
         X = X[:, :nrhs]
         return X[:, 0] if single else X

@@ -25,15 +25,18 @@ from nk_ocn_tracer_jacobian_precond_tpu.solver.pallas_kernels import (
     (3, 128, 128, 0),     # first panel
     (2, 512, 64, 0),      # narrow final panel
 ])
-def test_pallas_panel_matches_xla(B, R, T, off):
+@pytest.mark.parametrize("tau", [0.0, 0.05])
+def test_pallas_panel_matches_xla(B, R, T, off, tau):
     rng = np.random.default_rng(0)
     Pan = rng.standard_normal((B, R, T)).astype(np.float32)
     # mixed true eliminated counts: one front fully dummy (p=0, identity
     # diagonal pivots), one partially padded, one full
     p_arr = np.linspace(0, off + R, B).astype(np.int32)
-    Px, piv_x = _pivoted_panel(jnp.asarray(Pan), off, jnp.asarray(p_arr))
+    Px, piv_x = _pivoted_panel(jnp.asarray(Pan), off, jnp.asarray(p_arr),
+                               tau)
     Pp, piv_p = pallas_pivoted_panel(jnp.asarray(Pan), off,
-                                     jnp.asarray(p_arr), interpret=True)
+                                     jnp.asarray(p_arr), tau,
+                                     interpret=True)
     assert np.array_equal(np.asarray(piv_x), np.asarray(piv_p))
     assert np.array_equal(np.asarray(Px), np.asarray(Pp))
 
