@@ -460,81 +460,112 @@ def _seq_to_perm(piv, R: int):
     return jax.lax.fori_loop(0, T, body, perm)
 
 
-def _block_tri_inv(T, lower: bool, unit_diagonal: bool):
-    """Invert a batched triangular matrix (B, P, P) by blocks: the PANEL
-    diagonal blocks via lax trisolve (tiny, sequential inside), the
-    off-diagonal blocks via MXU GEMMs. XLA:TPU's triangular_solve against
-    a full identity is serial in the block count and brutally slow at
-    P ~ 10^3; this blocked form is GEMM-dominated."""
-    B, Pdim, _ = T.shape
+def _pack_diag_inv(LU):
+    """Replace each PANEL-sized diagonal block of a packed LU (B, P, P)
+    with stril(L_ii^-1, -1) + triu(U_ii^-1); off-diagonal blocks keep the
+    raw L/U values. This is the factor layout the solve's block
+    substitution (_block_lower_apply/_block_upper_apply) consumes.
+
+    WHY substitution instead of storing the full explicit triangular
+    inverses (the round-1 design): on these transport Jacobians the
+    P-sized triangles are ill-conditioned (kappa ~ 1e5 at 60 levels,
+    growth probe 2026-08-17), and a float32 full inverse carries forward
+    error ~ eps32 * kappa — measured as a ~1.5e-2 preconditioner apply
+    error that forced ~1.5-digit-per-cycle GMRES-IR refinement. Block
+    substitution is backward-stable across blocks (only the 128-wide
+    diagonal blocks are inverted, whose conditioning is what a TRSM step
+    sees), restoring direct-solver apply accuracy, while every op stays
+    a batched MXU GEMM — XLA:TPU's own triangular_solve over the full P
+    is serial in the panel count and latency-poison when the solve is
+    reapplied as a Krylov preconditioner."""
+    B, Pdim, _ = LU.shape
     bs = min(PANEL, Pdim)          # padded dims are powers of two below 128
-    nb = Pdim // bs
-    eye = jnp.eye(bs, dtype=T.dtype)
-    # invert the diagonal blocks
-    Dinv = []
-    for i in range(nb):
-        o = i * bs
-        Ti = jax.lax.dynamic_slice(T, (0, o, o), (B, bs, bs))
-        Dinv.append(triangular_solve(
-            Ti, jnp.broadcast_to(eye, (B, bs, bs)), left_side=True,
-            lower=lower, unit_diagonal=unit_diagonal))
-    X = [[None] * nb for _ in range(nb)]
-    for i in range(nb):
-        X[i][i] = Dinv[i]
-    order = range(1, nb) if lower else range(nb - 2, -1, -1)
-    # lower: X[i][j] = -Dinv[i] @ sum_{j<=k<i} T[i][k] X[k][j]
-    # upper: X[i][j] = -Dinv[i] @ sum_{i<k<=j} T[i][k] X[k][j]
-    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
-    if lower:
-        for i in range(1, nb):
-            for j in range(i - 1, -1, -1):
-                acc = 0.0
-                for k in range(j, i):
-                    Tik = jax.lax.dynamic_slice(
-                        T, (0, i * bs, k * bs), (B, bs, bs))
-                    acc = acc + mm(Tik, X[k][j])
-                X[i][j] = -mm(Dinv[i], acc)
-    else:
-        for i in range(nb - 2, -1, -1):
-            for j in range(i + 1, nb):
-                acc = 0.0
-                for k in range(i + 1, j + 1):
-                    Tik = jax.lax.dynamic_slice(
-                        T, (0, i * bs, k * bs), (B, bs, bs))
-                    acc = acc + mm(Tik, X[k][j])
-                X[i][j] = -mm(Dinv[i], acc)
-    rows = []
-    zero = jnp.zeros((B, bs, bs), dtype=T.dtype)
-    for i in range(nb):
-        rows.append(jnp.concatenate(
-            [X[i][j] if X[i][j] is not None else zero for j in range(nb)],
-            axis=2))
-    return jnp.concatenate(rows, axis=1)
+    eye = jnp.eye(bs, dtype=LU.dtype)
+    out = LU
+    for o in range(0, Pdim, bs):
+        Ti = jax.lax.dynamic_slice(LU, (0, o, o), (B, bs, bs))
+        Li = triangular_solve(Ti, jnp.broadcast_to(eye, (B, bs, bs)),
+                              left_side=True, lower=True,
+                              unit_diagonal=True)
+        Ui = triangular_solve(Ti, jnp.broadcast_to(eye, (B, bs, bs)),
+                              left_side=True, lower=False,
+                              unit_diagonal=False)
+        Ki = jnp.tril(Li, -1) + jnp.triu(Ui)
+        out = jax.lax.dynamic_update_slice(out, Ki, (0, o, o))
+    return out
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, preferred_element_type=b.dtype,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _block_lower_apply(K, rhs):
+    """y = L11^-1 rhs by block forward substitution. K is the
+    _pack_diag_inv layout (B, P, >=P) — only its leading (P, P) block is
+    read; rhs (B, P, nrhs). All slices are static, every op a GEMM."""
+    B, Pdim = rhs.shape[0], rhs.shape[1]
+    bs = min(PANEL, Pdim)
+    ys = []
+    for o in range(0, Pdim, bs):
+        t = rhs[:, o:o + bs]
+        if o:
+            t = t - _mm(K[:, o:o + bs, :o], jnp.concatenate(ys, axis=1))
+        KD = K[:, o:o + bs, o:o + bs]
+        ys.append(t + _mm(jnp.tril(KD, -1), t))
+    return jnp.concatenate(ys, axis=1) if len(ys) > 1 else ys[0]
+
+
+def _block_upper_apply(K, rhs):
+    """x = U11^-1 rhs by block backward substitution (layout as above)."""
+    B, Pdim = rhs.shape[0], rhs.shape[1]
+    bs = min(PANEL, Pdim)
+    xs = []
+    for o in range(Pdim - bs, -1, -bs):
+        t = rhs[:, o:o + bs]
+        if xs:
+            t = t - _mm(K[:, o:o + bs, o + bs:Pdim],
+                        jnp.concatenate(xs, axis=1))
+        KD = K[:, o:o + bs, o:o + bs]
+        xs.insert(0, _mm(jnp.triu(KD), t))
+    return jnp.concatenate(xs, axis=1) if len(xs) > 1 else xs[0]
+
+
+def _block_upper_apply_right(K, rhs):
+    """X = rhs @ U11^-1 (right-side solve X U11 = rhs) by block forward
+    substitution over column blocks; rhs (B, M, P)."""
+    Pdim = rhs.shape[2]
+    bs = min(PANEL, Pdim)
+    xs = []
+    for o in range(0, Pdim, bs):
+        t = rhs[:, :, o:o + bs]
+        if o:
+            t = t - _mm(jnp.concatenate(xs, axis=2), K[:, :o, o:o + bs])
+        KD = K[:, o:o + bs, o:o + bs]
+        xs.append(_mm(t, jnp.triu(KD)))
+    return jnp.concatenate(xs, axis=2) if len(xs) > 1 else xs[0]
 
 
 def _finish_factor(F, lu, perm, P: int):
     """Shared tail of the partial factorization once the pivot block's
-    packed LU and row permutation are known: invert the triangles (GEMM
-    blocks), form U12/L21 by GEMM, Schur-update the border.
+    packed LU and row permutation are known: pack the diagonal-block
+    inverses, form U12/L21 by block substitution, Schur-update the
+    border.
 
-    The factors are stored PACKED: FP = [K | U12] (B, P, N) with
-    K = stril(L11^-1) + triu(U11^-1) (L11^-1 has unit diagonal, implicit),
-    plus L21 (B, M, P). The solve rounds re-split K with tril/triu masks —
-    the masked temporaries fuse into the GEMMs cheaply (measured: no solve
-    slowdown vs storing both triangles unmasked), while packing saves a
-    P^2 block per front (1.3 GB at gx3deep, where single-chip HBM is the
-    binding constraint)."""
+    The factors are stored PACKED: FP = [K | U12] (B, P, N) with K the
+    _pack_diag_inv layout (raw off-diagonal L/U blocks, inverted+packed
+    PANEL diagonal blocks), plus L21 (B, M, P). Packing saves a P^2
+    block per front (1.3 GB at gx3deep, where single-chip HBM is the
+    binding constraint); see _pack_diag_inv for why substitution
+    replaced full explicit inverses."""
     N = F.shape[-1]
-    Linv = _block_tri_inv(lu, lower=True, unit_diagonal=True)
-    Uinv = _block_tri_inv(lu, lower=False, unit_diagonal=False)
-    K = jnp.tril(Linv, -1) + jnp.triu(Uinv)
-    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    K = _pack_diag_inv(lu)
     bord = N - P
     if bord > 0:
         F12p = jnp.take_along_axis(F[:, :P, P:], perm[:, :, None], axis=1)
-        U12 = mm(Linv, F12p)
-        L21 = mm(F[:, P:, :P], Uinv)
-        S = F[:, P:, P:] - mm(L21, U12)
+        U12 = _block_lower_apply(K, F12p)
+        L21 = _block_upper_apply_right(K, F[:, P:, :P])
+        S = F[:, P:, P:] - _mm(L21, U12)
     else:
         U12 = jnp.zeros((F.shape[0], P, 0), dtype=F.dtype)
         L21 = jnp.zeros((F.shape[0], 0, P), dtype=F.dtype)
@@ -650,19 +681,11 @@ def _partial_factor_body(F, P: int, p_arr, tau=0.0, use_pallas: bool = False,
                                    precision=jax.lax.Precision.HIGHEST)
             F = jax.lax.dynamic_update_slice(F, A22, (0, off + T, off + T))
     S = F[:, P:, P:]
-    # invert the pivot block's triangles (blocked GEMM inversion): the
-    # triangular solves of the per-RHS solve path become pure MXU GEMMs
-    # (XLA:TPU's triangular_solve is serial in the panel count — a latency
-    # disaster when the solve is reapplied dozens of times as a Krylov
-    # preconditioner); U12/L21 were already TRSM'd in place by the panel
-    # loop. Layout matches _finish_factor (packed K).
-    LU11 = F[:, :P, :P]
-    import os
-    if os.environ.get("NK_INV64"):   # experiment: f64-emulated inversion
-        LU11 = LU11.astype(jnp.float64)
-    Linv = _block_tri_inv(LU11, lower=True, unit_diagonal=True)
-    Uinv = _block_tri_inv(LU11, lower=False, unit_diagonal=False)
-    K = (jnp.tril(Linv, -1) + jnp.triu(Uinv)).astype(F.dtype)
+    # pack the pivot block for the solve's block substitution: only the
+    # PANEL diagonal blocks are inverted (see _pack_diag_inv for the
+    # accuracy rationale); U12/L21 were already TRSM'd in place by the
+    # panel loop. Layout matches _finish_factor (packed K).
+    K = _pack_diag_inv(F[:, :P, :P])
     FP = jnp.concatenate([K, F[:, :P, P:]], axis=2)
     return FP, F[:, P:, :P], S, perm_total
 
@@ -673,35 +696,31 @@ _partial_factor = jax.jit(_partial_factor_body,
 
 
 def _fwd_round(W, FP, L21, perm, cells_own, cells_bor):
-    """Forward substitution for one round, batched over fronts: GEMMs
-    against the packed inverse triangles (L11^-1 = I + stril(K)).
+    """Forward substitution for one round, batched over fronts: block
+    substitution against the packed pivot block (_pack_diag_inv layout).
 
     W is (flat_len+1, nrhs) with a trailing dump row for padding."""
     P = cells_own.shape[1]
     K = FP[:, :, :P]
     rhs = W[cells_own]                                  # (B, P, nrhs)
     rhs = jnp.take_along_axis(rhs, perm[:, :, None], axis=1)
-    y = rhs + jnp.matmul(jnp.tril(K, -1), rhs,
-                         preferred_element_type=rhs.dtype,
-                         precision=jax.lax.Precision.HIGHEST)
+    y = _block_lower_apply(K, rhs)
     W = W.at[cells_own.reshape(-1)].set(y.reshape(-1, y.shape[-1]), mode="drop")
-    upd = jnp.matmul(L21, y, preferred_element_type=y.dtype,
-                     precision=jax.lax.Precision.HIGHEST)
+    upd = _mm(L21, y)
     W = W.at[cells_bor.reshape(-1)].add(-upd.reshape(-1, y.shape[-1]),
                                         mode="drop")
     return W
 
 
 def _bwd_round(W, FP, L21, cells_own, cells_bor):
-    """Backward substitution: x = U11^-1 (rhs - U12 xb), U11^-1 = triu(K)."""
+    """Backward substitution: x = U11^-1 (rhs - U12 xb), by block
+    substitution on the packed pivot block."""
     P = cells_own.shape[1]
     K = FP[:, :, :P]
     rhs = W[cells_own]
     xb = W[cells_bor]
-    rhs = rhs - jnp.matmul(FP[:, :, P:], xb, preferred_element_type=rhs.dtype,
-                           precision=jax.lax.Precision.HIGHEST)
-    x = jnp.matmul(jnp.triu(K), rhs, preferred_element_type=rhs.dtype,
-                   precision=jax.lax.Precision.HIGHEST)
+    rhs = rhs - _mm(FP[:, :, P:], xb)
+    x = _block_upper_apply(K, rhs)
     W = W.at[cells_own.reshape(-1)].set(x.reshape(-1, x.shape[-1]), mode="drop")
     return W
 
@@ -1035,6 +1054,10 @@ class JaxMultifrontal:
             from .checkpoint import FactorRoundCheckpointer
             h = hashlib.sha1(nz.tobytes())
             h.update(np.int64([self.flat_len, len(self.plans)]).tobytes())
+            # factor LAYOUT version: bump when the stored-factor semantics
+            # change (v2 = _pack_diag_inv block-substitution layout) so a
+            # resume can never mix checkpoints across layouts
+            h.update(b"factor-layout-v2")
             self._ckpt = FactorRoundCheckpointer(self._ckpt_dir,
                                                  h.hexdigest())
         nzval_ext = self._put(nz, None)

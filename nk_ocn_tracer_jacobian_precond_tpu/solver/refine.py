@@ -1,33 +1,37 @@
-"""Mixed-precision refinement: FGMRES-IR3, inner cycles on device.
+"""Mixed-precision refinement: FGMRES-IR3, fused device loop + exact
+host polish.
 
 The rebuild of SuperLU_DIST's iterative refinement (pdgsrfs*, reference
 SuperLU_brief_tree.txt:20-24), upgraded for a float32 factorization: the
 restricted-pivot LU suffers real element growth on these transport
 matrices (measured ~1e7 at gx3, worse at 60 levels), so plain residual
 correction stalls in float32. The repair is three-precision flexible
-GMRES iterative refinement:
+GMRES iterative refinement, staged by residual accuracy (round 2):
 
-  * OUTER loop (host, exact float64): r = b - A x via scipy SpMV (13 ms
-    at gx3). Exactness matters — TPU float64 is ~48-bit two-float
-    emulation and left a measurable attainable-residual floor when the
-    outer residual lived on device.
-  * INNER correction (device, ONE compiled program per restart): batched
-    FGMRES solving A d = r a few digits — float32 Krylov vectors, the
-    float32 multifrontal solve as the preconditioner with its outputs
-    STORED (flexible GMRES: the correction is the stored combination
-    Z y, never a re-application — re-rounding M^-1(Vy) through float32
-    carries basis-cancellation-amplified noise that floored the whole
-    refinement at ~3e-10 on 60-level problems), Givens-QR least squares
-    (normal equations square kappa(H) and also floored it). Escalates
-    the Krylov working precision to emulated float64 only if float32
-    cycles stall far from the target.
+  * FUSED BULK (device, ONE dispatch per solve): up to max_cycles
+    restarted-FGMRES correction cycles chained in a lax.while_loop with
+    float64 device-side outer residuals between them (_make_fused) —
+    float32 Krylov vectors, the float32 multifrontal solve as the
+    preconditioner with its outputs STORED (flexible GMRES: the
+    correction is the stored combination Z y, never a re-application —
+    re-rounding M^-1(Vy) through float32 carries basis-cancellation-
+    amplified noise), Givens-QR least squares (normal equations square
+    kappa(H)). This contracts from O(1) down to the emulated-f64
+    device-residual floor (~3e-10 at gx3deep) for ONE host<->device
+    round trip — the per-outer transfer on a tunneled chip (~0.9 s) used
+    to dominate the refinement.
+  * POLISH (host-exact residuals, one single-cycle dispatch per outer):
+    r = b - A x in exact float64 scipy SpMV; the same cycle fed an exact
+    residual contracts ~2.3 digits (vs ~1.4 against device residuals),
+    so 1-2 polish outers carry 3e-10 down to the true attainable floor
+    (kappa_Skeel * eps64 — SuperLU's own refined residual sits there
+    too: ~5e-12 at gx3, ~1.5e-11 at gx3deep).
+  * Escalation: stalls far from target deepen the Krylov space
+    (m: 4 -> 8 -> 16, memoized across solves of one factorization) and
+    only then raise the Krylov precision to emulated float64.
 
-One restart cycle is ONE device dispatch — per-dispatch latency on a
-remote TPU link is ~50-100 ms, so scattering a Krylov iteration over many
-dispatches (as host-side scipy.gmres does, one RHS at a time) costs more
-in latency than in math. All right-hand sides iterate together, batched.
-Reaches SuperLU's own refined-residual floor (kappa_Skeel * eps64):
-~5e-12 at gx3, ~1.5e-11 at gx3deep.
+All right-hand sides iterate together, batched; phase and depth are
+memoized so Newton-loop re-solves skip the doomed plain-IR attempts.
 """
 
 from __future__ import annotations
@@ -204,7 +208,12 @@ class DeviceRefiner:
 
             def cond(carry):
                 X, rel, prev, k = carry
-                improving = (rel < 0.7 * prev) | (k < 2)
+                # exit as soon as the contraction rate degrades below
+                # ~0.6 digits/cycle: with exact host residuals the same
+                # cycle contracts ~2.3 digits (measured, gx3deep), so
+                # near-floor grinding here is strictly worse than handing
+                # over to the host loop's exact-residual polish cycles
+                improving = (rel < 0.25 * prev) | (k < 2)
                 return (k < K) & (rel > tol) & improving
 
             def body(carry):
@@ -309,6 +318,7 @@ class DeviceRefiner:
         applied_ir = False
         prev = np.inf
         stall = 0
+        fused_stalled = False
         Bd = None    # device f64 copy of the padded RHS, staged once
         with timed("refine (gmres-ir3)"), \
                 jax.default_matmul_precision("highest"):
@@ -331,6 +341,20 @@ class DeviceRefiner:
                     # escalate to Krylov corrections
                     phase = "gmres"
                     self._phase = "gmres"
+                elif phase == "gmres" and fused_stalled:
+                    # the fused device loop exited on ITS OWN stall
+                    # detector (k < K with rel_est above tol): don't pay
+                    # another fused dispatch to rediscover the same stall
+                    if rel <= 1e3 * self.tol:
+                        phase = "polish"
+                    elif self._m < self.m:
+                        self._m = min(2 * self._m, self.m)
+                        dbg(1, f"refine: deepening inner cycle to "
+                               f"m={self._m}")
+                    else:
+                        phase = "gmres64"
+                        self._phase = "gmres64"
+                        dbg(1, "refine: escalating inner cycle to float64")
                 elif phase == "gmres" and rel > 0.5 * prev:
                     if rel <= 1e3 * self.tol:
                         # the fused loop stalled within sight of the
@@ -360,10 +384,13 @@ class DeviceRefiner:
                     # round trip
                     self._m = min(2 * self._m, self.m)
                     dbg(1, f"refine: deepening inner cycle to m={self._m}")
-                elif phase == "polish" and rel > 0.5 * prev:
-                    # exact-residual corrections stalled too: the true
-                    # attainable floor (kappa_Skeel * eps64 — SuperLU's
-                    # own refined residual sits here as well)
+                elif phase == "polish" and (rel > 0.5 * prev
+                                            or rel <= 3 * self.tol):
+                    # exact-residual corrections stalled, or within 3x of
+                    # the target: the true attainable floor (kappa_Skeel *
+                    # eps64 — SuperLU's own refined residual sits here as
+                    # well, e.g. 1.46e-11 at gx3deep); one more 1.4s cycle
+                    # cannot buy the remaining fraction of a digit
                     dbg(1, "refine: converged to the attainable floor")
                     break
                 elif phase == "gmres64":
@@ -403,6 +430,8 @@ class DeviceRefiner:
                     Xd, rel_est, k = self._fused_jit[key](
                         Bd, put(X, None), self._env(jdt), self.tol)
                     X = np.asarray(Xd, dtype=np.float64)
+                    fused_stalled = (int(k) < self.max_cycles
+                                     and float(rel_est) > self.tol)
                     dbg(1, f"refine: fused {int(k)} x m={m_cur} cycles, "
                            f"device residual estimate {float(rel_est):.3e}")
         X = X[:, :nrhs]
