@@ -695,7 +695,21 @@ _partial_factor = jax.jit(_partial_factor_body,
                                            "allow_native_lu"))
 
 
-def _fwd_round(W, FP, L21, perm, cells_own, cells_bor):
+def _set_own(W, vals, cells_own, own_rb):
+    """Write vals (B, P, nrhs) to W rows cells_own. With an own_rb index
+    map (big leaf rounds), the scatter-set becomes a full-length gather
+    rebuild — XLA:TPU serializes scatters, and the leaf rounds' scatters
+    were ~25% of a solve sweep; a gather of (flat_len+1) rows is pure
+    bandwidth (~30 us at gx3deep). Small rounds keep the scatter (their
+    row count is tiny, and the index maps would cost flat_len ints per
+    round)."""
+    flat = vals.reshape(-1, vals.shape[-1])
+    if own_rb is not None:
+        return jnp.concatenate([W, flat], axis=0)[own_rb]
+    return W.at[cells_own.reshape(-1)].set(flat, mode="drop")
+
+
+def _fwd_round(W, FP, L21, perm, cells_own, cells_bor, own_rb=None):
     """Forward substitution for one round, batched over fronts: block
     substitution against the packed pivot block (_pack_diag_inv layout).
 
@@ -705,14 +719,14 @@ def _fwd_round(W, FP, L21, perm, cells_own, cells_bor):
     rhs = W[cells_own]                                  # (B, P, nrhs)
     rhs = jnp.take_along_axis(rhs, perm[:, :, None], axis=1)
     y = _block_lower_apply(K, rhs)
-    W = W.at[cells_own.reshape(-1)].set(y.reshape(-1, y.shape[-1]), mode="drop")
+    W = _set_own(W, y, cells_own, own_rb)
     upd = _mm(L21, y)
     W = W.at[cells_bor.reshape(-1)].add(-upd.reshape(-1, y.shape[-1]),
                                         mode="drop")
     return W
 
 
-def _bwd_round(W, FP, L21, cells_own, cells_bor):
+def _bwd_round(W, FP, L21, cells_own, cells_bor, own_rb=None):
     """Backward substitution: x = U11^-1 (rhs - U12 xb), by block
     substitution on the packed pivot block."""
     P = cells_own.shape[1]
@@ -721,8 +735,7 @@ def _bwd_round(W, FP, L21, cells_own, cells_bor):
     xb = W[cells_bor]
     rhs = rhs - _mm(FP[:, :, P:], xb)
     x = _block_upper_apply(K, rhs)
-    W = W.at[cells_own.reshape(-1)].set(x.reshape(-1, x.shape[-1]), mode="drop")
-    return W
+    return _set_own(W, x, cells_own, own_rb)
 
 
 class JaxMultifrontal:
@@ -895,14 +908,34 @@ class JaxMultifrontal:
         """Plan index arrays as device buffers, passed (not embedded) into
         the compiled programs. Batch-indexed arrays are sharded over the
         mesh; link arrays stay replicated (they are tiny — the Schur
-        stacks they index carry the real data movement)."""
+        stacks they index carry the real data movement).
+
+        Rounds holding >= flat_len/8 eliminated rows (the big leaf
+        rounds, unsharded on TPU) additionally get an `own_rb` rebuild
+        index (flat_len+1,) turning the solve's scatter-sets into
+        gathers (_set_own); a handful of rounds qualify, bounding the
+        map memory to a few full-length int32 arrays."""
+        n = self.flat_len
+        import os
+        big = ((jax.default_backend() == "tpu"
+                or os.environ.get("NK_FORCE_OWN_RB") == "1")
+               and self.mesh is None)
         c = []
         for p in self.plans:
+            own_rb = None
+            if big and p.B * p.P >= max(n // 8, 1):
+                of = np.asarray(p.cells_own).reshape(-1)
+                idx = np.arange(n + 1, dtype=np.int32)
+                valid = of < n
+                idx[of[valid]] = (n + 1
+                                  + np.nonzero(valid)[0].astype(np.int32))
+                own_rb = jnp.asarray(idx)
             c.append(dict(
                 a_pos=self._put(p.a_pos, p.B), a_src=self._put(p.a_src, p.B),
                 p_arr=self._put(p.p_arr, p.B),
                 own=self._put(p.cells_own, p.B),
                 bor=self._put(p.cells_bor, p.B),
+                own_rb=own_rb,
                 groups=[(g.src_round, self._put(g.src_slots, None),
                          self._put(g.dst_slots, None), self._put(g.inv, None))
                         for g in p.child_groups]))
@@ -914,15 +947,17 @@ class JaxMultifrontal:
     # into one program because per-solve dispatch latency matters)
 
     def _flatten_consts(self):
-        """The solve program's constants: per-round cell index maps."""
+        """The solve program's constants: per-round cell index maps.
+        own_rb entries may be None (kept as a position-stable sentinel:
+        jit treats None as an empty pytree leaf set, so the structure
+        stays consistent across rounds)."""
         flat = []
         for cc in self._consts:
-            flat.extend([cc["own"], cc["bor"]])
+            flat.append((cc["own"], cc["bor"], cc["own_rb"]))
         return tuple(flat)
 
     def _unflatten_consts(self, flat):
-        return [dict(own=flat[i], bor=flat[i + 1])
-                for i in range(0, 2 * len(self.plans), 2)]
+        return [dict(own=t[0], bor=t[1], own_rb=t[2]) for t in flat]
 
     def _factorize(self, matrix: SparseMatrix) -> None:
         # drop any previous factors FIRST: holding the old set while the
@@ -1097,10 +1132,12 @@ class JaxMultifrontal:
         for rnd in range(len(self.plans)):
             FP, L21, perm = factors[rnd]
             W = _fwd_round(W, FP, L21, perm,
-                           consts[rnd]["own"], consts[rnd]["bor"])
+                           consts[rnd]["own"], consts[rnd]["bor"],
+                           consts[rnd]["own_rb"])
         for rnd in range(len(self.plans) - 1, -1, -1):
             FP, L21, perm = factors[rnd]
-            W = _bwd_round(W, FP, L21, consts[rnd]["own"], consts[rnd]["bor"])
+            W = _bwd_round(W, FP, L21, consts[rnd]["own"],
+                           consts[rnd]["bor"], consts[rnd]["own_rb"])
         return W
 
     def solve(self, b: np.ndarray) -> np.ndarray:

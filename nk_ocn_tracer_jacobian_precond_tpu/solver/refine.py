@@ -147,8 +147,14 @@ class DeviceRefiner:
         ell_col[rows, pos] = np.asarray(matrix.colind, dtype=np.int32)
         ell_val[rows, pos] = np.asarray(matrix.nzval, dtype=np.float64)
         self._ell_col = put(ell_col, None)
-        self._ell_val32 = put(ell_val.astype(np.float32), None)
+        ell_hi = ell_val.astype(np.float32)
+        self._ell_val32 = put(ell_hi, None)
         self._ell_val64 = put(ell_val, None)
+        # double-float32 split of the matrix for the compensated SpMV
+        # (_spmv_comp): hi is the f32 rounding, lo the f32 of the
+        # remainder — hi + lo reproduces the f64 value to ~2^-48
+        self._ell_lo = put((ell_val - ell_hi.astype(np.float64))
+                           .astype(np.float32), None)
         one = np.ones(n)
         self._dr = put(np.asarray(dr if dr is not None else one,
                                   dtype=np.float64), None)
@@ -168,6 +174,7 @@ class DeviceRefiner:
         return dict(factors=self.engine.factors,
                     consts=self.engine._flatten_consts(),
                     ell_val32=self._ell_val32, ell_val64=self._ell_val64,
+                    ell_hi=self._ell_val32, ell_lo=self._ell_lo,
                     ell_col=self._ell_col,
                     dr=self._dr, dc=self._dc)
 
@@ -178,6 +185,34 @@ class DeviceRefiner:
         xp = jnp.concatenate(
             [x, jnp.zeros((1, x.shape[1]), dtype=x.dtype)], axis=0)
         return jnp.sum(vals[:, :, None] * xp[env["ell_col"]], axis=1)
+
+    def _spmv_comp(self, env, x64):
+        """y = A x in compensated double-float32: Dekker two-products of
+        the split matrix values against split x, error terms accumulated
+        in emulated float64 (whose ADDS are accurate; it is the emulated
+        f64 MULTIPLY that is only ~2^-33 effective on TPU — measured as
+        a ~3e-10 device-residual floor that cost the fused refinement
+        ~2 extra cycles plus host polish outers). Effective precision
+        ~2^-48 relative to |A||x|."""
+        f32, f64 = jnp.float32, jnp.float64
+        xh = x64.astype(f32)
+        xl = (x64 - xh.astype(f64)).astype(f32)
+        zero = jnp.zeros((1, x64.shape[1]), dtype=f32)
+        xph = jnp.concatenate([xh, zero], axis=0)[env["ell_col"]]
+        xpl = jnp.concatenate([xl, zero], axis=0)[env["ell_col"]]
+        vh = env["ell_hi"][:, :, None]
+        vl = env["ell_lo"][:, :, None]
+        # Dekker twoProduct via Veltkamp splitting (no hardware FMA
+        # exposed): p + e == vh * xph exactly
+        C = f32(4097.0)                      # 2^12 + 1 splitter
+        a1 = (vh * C) - ((vh * C) - vh)
+        a2 = vh - a1
+        b1 = (xph * C) - ((xph * C) - xph)
+        b2 = xph - b1
+        p = vh * xph
+        e = ((a1 * b1 - p) + a1 * b2 + a2 * b1) + a2 * b2
+        small = e + vh * xpl + vl * xph
+        return jnp.sum(p.astype(f64) + small.astype(f64), axis=1)
 
     def _precond(self, env, v):
         """M^-1 v: scale, float32 multifrontal solve, unscale; the result
@@ -191,9 +226,10 @@ class DeviceRefiner:
 
     def _make_fused(self, m: int, nrhs: int, K: int, dtype=jnp.float32):
         """K chained restart cycles in ONE device program: between cycles
-        the outer residual r = b - A x is recomputed ON DEVICE in float64
-        (the ELL SpMV is elementwise mul + row-sum — no f64 matmul, so the
-        only error is the ~2^-48 emulated-f64 mantissa per term), and the
+        the outer residual r = b - A x is recomputed ON DEVICE by the
+        compensated double-float32 SpMV (_spmv_comp, ~2^-48 effective —
+        emulated-f64 multiplies are only ~2^-33 on TPU and put a ~3e-10
+        floor under device residuals), and the
         loop exits early on reaching tol or on stall. The per-outer
         host<->device round trip (~0.9 s of a 1.1 s outer on the tunneled
         chip at gx3deep) is paid ONCE per solve instead of once per cycle;
@@ -218,7 +254,11 @@ class DeviceRefiner:
 
             def body(carry):
                 X, rel, prev, k = carry
-                R = b - self._spmv(env, X)               # device f64
+                # compensated SpMV: the device outer residual is exact to
+                # ~2^-48 of |A||x|, so the fused loop converges to tol
+                # instead of the ~3e-10 emulated-f64-multiply floor that
+                # previously forced host polish outers
+                R = b - self._spmv_comp(env, X)
                 rel_now = jnp.max(jnp.linalg.norm(R, axis=0) / bnorm)
                 rel_now = rel_now.astype(jnp.float64)
                 d = cycle(R.astype(dtype), env)
@@ -320,6 +360,12 @@ class DeviceRefiner:
         stall = 0
         fused_stalled = False
         Bd = None    # device f64 copy of the padded RHS, staged once
+        # best-iterate guard: corrections computed against device-side
+        # residuals can DEGRADE an iterate whose true residual already
+        # sits below the device-residual floor (~2^-48 x |A||x|/|b| for
+        # the compensated SpMV); the refiner must never return anything
+        # worse than the best host-exact-residual iterate it has seen
+        X_best, rel_best = X, np.inf
         with timed("refine (gmres-ir3)"), \
                 jax.default_matmul_precision("highest"):
             # progress-based termination: keep cycling while each outer
@@ -333,14 +379,20 @@ class DeviceRefiner:
                              / bnorm).max())
                 dbg(1, f"refine outer {outer} ({phase}): max rel residual "
                        f"{rel:.3e}")
+                if rel < rel_best:
+                    rel_best, X_best = rel, X.copy()
                 if rel <= self.tol:
                     break
                 if phase == "ir" and (self.precond_host is None or
                                       (applied_ir and rel > 0.1 * prev)):
                     # plain refinement stalled (element growth x float32):
-                    # escalate to Krylov corrections
-                    phase = "gmres"
+                    # escalate to Krylov corrections. Memoize the fused
+                    # path for Newton re-solves, but if this iterate is
+                    # already within sight of the target, its true
+                    # residual may be BELOW the fused loop's device-
+                    # residual floor — go straight to host-exact polish
                     self._phase = "gmres"
+                    phase = "polish" if rel <= 1e3 * self.tol else "gmres"
                 elif phase == "gmres" and fused_stalled:
                     # the fused device loop exited on ITS OWN stall
                     # detector (k < K with rel_est above tol): don't pay
@@ -434,5 +486,14 @@ class DeviceRefiner:
                                      and float(rel_est) > self.tol)
                     dbg(1, f"refine: fused {int(k)} x m={m_cur} cycles, "
                            f"device residual estimate {float(rel_est):.3e}")
-        X = X[:, :nrhs]
+        # if the loop exhausted its outer budget, the final correction was
+        # never residual-checked; give it the chance to win — then return
+        # the best iterate ever seen
+        if outer == 3 * self.max_cycles - 1:
+            R = Bp - self.A @ X
+            rel = float((np.linalg.norm(R[:, :nrhs], axis=0) / bnorm).max())
+            if rel < rel_best:
+                rel_best, X_best = rel, X
+        self.last_rel = rel_best
+        X = X_best[:, :nrhs]
         return X[:, 0] if single else X

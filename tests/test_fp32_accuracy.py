@@ -86,3 +86,26 @@ def test_fp32_raw_vs_refined_gap_documented(deep_problem):
     # raw fp32 must be no better than ~1e-5 relative (fp32 eps * growth);
     # the refined result must beat it by many orders
     assert rel_raw.max() > rel.max() * 10
+
+
+def test_compensated_spmv_beats_plain_f32(deep_problem):
+    """_spmv_comp (double-float32 Dekker products, f64 accumulation) must
+    reproduce the exact f64 SpMV to ~1e-13 relative — the property that
+    lets the fused device loop use device-side outer residuals without
+    the emulated-f64-multiply floor. Plain f32 SpMV sits at ~1e-7."""
+    import jax.numpy as jnp
+    matrix, maps = deep_problem
+    mf = MultifrontalFactorization(matrix, impl="jax", maps=maps,
+                                   refine_tol=1e-11)
+    ref = mf._device_refiner()
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((matrix.flat_len, 2))
+    env = ref._env()
+    y_exact = matrix.to_scipy() @ x
+    scale = np.abs(y_exact).max()
+    y_comp = np.asarray(ref._spmv_comp(env, jnp.asarray(x)))
+    y_f32 = np.asarray(ref._spmv(env, jnp.asarray(x, dtype=jnp.float32)))
+    err_comp = np.abs(y_comp - y_exact).max() / scale
+    err_f32 = np.abs(y_f32 - y_exact).max() / scale
+    assert err_comp < 1e-12, err_comp
+    assert err_comp < 1e-4 * err_f32, (err_comp, err_f32)

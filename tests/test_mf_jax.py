@@ -70,3 +70,22 @@ def test_jax_engine_coupled_tracers(tmp_path):
     # 1e-10 is the workflow's accuracy target (BASELINE.md); this matrix's
     # conditioning puts scipy's SuperLU at ~1.2e-10 on the same system
     assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) < 1e-10
+
+
+def test_own_rb_gather_rebuild_matches_scatter(problem, monkeypatch):
+    """The gather-rebuild form of the solve's row writes (_set_own with
+    an own_rb index map — the TPU path, where XLA serializes scatters)
+    must produce the same solution as the scatter form. Forced on via
+    NK_FORCE_OWN_RB since CPU defaults to scatters."""
+    matrix, maps = problem
+    rng = np.random.default_rng(3)
+    B = rng.standard_normal((matrix.flat_len, 3))
+    fac = MultifrontalFactorization(matrix, impl="jax", maps=maps,
+                                    refine_tol=1e-11)
+    X_scatter = fac.solve(B, refine=False)
+    monkeypatch.setenv("NK_FORCE_OWN_RB", "1")
+    fac2 = MultifrontalFactorization(matrix, impl="jax", maps=maps,
+                                     refine_tol=1e-11)
+    assert any(cc["own_rb"] is not None for cc in fac2.engine._consts)
+    X_rb = fac2.solve(B, refine=False)
+    np.testing.assert_array_equal(np.asarray(X_scatter), np.asarray(X_rb))
