@@ -41,14 +41,33 @@ def equilibrate(matrix: SparseMatrix, ruiz_iters: int = 8):
     la0 = np.log2(np.where(a > 0, a, 1.0))
     ldr = np.zeros(n)
     ldc = np.zeros(n)
+    # segment maxima via sort + reduceat: rows are CSR-sorted already;
+    # columns get one reusable argsort. np.maximum.at was ~10x slower
+    # (ufunc.at is scalar-dispatched) and equilibration sat at 18s of the
+    # gx3 cold factor — this form is a few hundred ms
+    row_ptr = A.indptr[:-1].astype(np.int64)
+    row_has = rowcnt > 0
+    col_order = np.argsort(cols, kind="stable")
+    cols_sorted = cols[col_order]
+    col_cnt = np.bincount(cols_sorted, minlength=n)
+    col_ptr = (np.cumsum(col_cnt) - col_cnt).astype(np.int64)
+    col_has = col_cnt > 0
+
+    def _seg_max(vals, order, ptr, has):
+        v = vals[order] if order is not None else vals
+        out = np.zeros(n)
+        # reduceat needs strictly valid segment starts: clamp empty
+        # segments' starts and zero them after
+        safe = np.minimum(ptr, max(len(v) - 1, 0))
+        if len(v):
+            out = np.maximum.reduceat(v, safe)
+        out[~has] = 0.0
+        return out
+
     for _ in range(ruiz_iters):
         la = la0 - ldr[rows] - ldc[cols]
-        rmax = np.full(n, -np.inf)
-        np.maximum.at(rmax, rows, la)
-        rmax[~np.isfinite(rmax)] = 0.0
-        cmax = np.full(n, -np.inf)
-        np.maximum.at(cmax, cols, la)
-        cmax[~np.isfinite(cmax)] = 0.0
+        rmax = _seg_max(la, None, row_ptr, row_has)
+        cmax = _seg_max(la, col_order, col_ptr, col_has)
         if max(np.abs(rmax).max(initial=0.0),
                np.abs(cmax).max(initial=0.0)) <= 1.0:
             break

@@ -800,7 +800,8 @@ class JaxMultifrontal:
             self.plans, ndev,
             np.dtype(self.prec).itemsize).summary())
         self.flat_len = sym.flat_len
-        self._consts = self._device_constants()
+        with timed("device constants"):
+            self._consts = self._device_constants()
         self._solve_jit = {}
         # The numeric phase CAN run as one fused program (_factor_body
         # under a single jit) — measured at gx3 it gains nothing over the
@@ -1096,6 +1097,11 @@ class JaxMultifrontal:
             self._ckpt = FactorRoundCheckpointer(self._ckpt_dir,
                                                  h.hexdigest())
         nzval_ext = self._put(nz, None)
+        if (jax.default_backend() == "tpu" and self.mesh is None
+                and jax.config.jax_compilation_cache_dir is not None
+                and not getattr(self, "_precompiled", False)):
+            self._precompiled = True
+            self._precompile(nzval_ext, self._tau)
         # triangular solves lower to blocked matmuls that follow the
         # default matmul precision; bf16 passes would wreck a direct
         # solver. Scoped here (tracing happens inside) rather than flipped
@@ -1120,6 +1126,66 @@ class JaxMultifrontal:
                 [a.ravel()[0].astype(jnp.float32)
                  for f in fs for a in f if a.size]).sum())
             float(probe(self.factors))
+
+    def _precompile(self, nzval_ext, tau) -> None:
+        """AOT-compile every distinct factor-kernel shape CONCURRENTLY.
+
+        A cold factorization otherwise compiles its ~dozens of bucketed
+        round programs strictly serially — each round's kernel compiles
+        only when the sequential dependency walk first reaches it. On a
+        remote-tunneled TPU each compile is an RPC to the server's
+        compiler, so a thread pool overlaps them nearly perfectly
+        (compilation releases the GIL); the compiled executables land in
+        the persistent cache (jax_compilation_cache_dir), which the
+        factor loop's ordinary jit calls then hit. Best-effort: any
+        failure falls back to the normal compile-on-first-use path.
+
+        Single-device only (mesh programs carry shardings the AOT
+        signatures here don't reproduce) and TPU only (XLA:CPU compiles
+        are local and fast)."""
+        import concurrent.futures as cf
+
+        f32, i32 = self.prec, jnp.int32
+        sd = jax.ShapeDtypeStruct
+        jobs: dict[tuple, tuple] = {}
+        for rnd, plan in enumerate(self.plans):
+            cc = self._consts[rnd]
+            B, P, N, E = plan.B, plan.P, plan.N, plan.a_pos.shape[1]
+            jobs.setdefault(
+                ("asm", B, E, N, P),
+                (_assemble, (nzval_ext, cc["a_pos"], cc["a_src"],
+                             cc["p_arr"]), dict(N=N, P=P)))
+            for gi, g in enumerate(plan.child_groups):
+                sp = self.plans[g.src_round]
+                L = len(g.src_slots)
+                jobs.setdefault(
+                    ("ea", B, N, L, sp.B, sp.M),
+                    (_extend_add,
+                     (sd((B, N, N), f32), sd((sp.B, sp.M, sp.M), f32),
+                      sd((L,), i32), sd((L,), i32), sd((L, N), i32)), {}))
+            jobs.setdefault(
+                ("pf", B, P, N),
+                (_partial_factor, (sd((B, N, N), f32),),
+                 dict(P=P, p_arr=cc["p_arr"], tau=tau,
+                      use_pallas=self._use_pallas,
+                      allow_native_lu=self.mesh is None)))
+
+        def compile_one(item):
+            fn, args, kwargs = item
+            # the same jit objects + matmul-precision context as the real
+            # calls, so the lowered HLO (and its cache key) is identical
+            with jax.default_matmul_precision("highest"):
+                fn.lower(*args, **kwargs).compile()
+
+        with timed(f"precompile {len(jobs)} kernel shapes"):
+            with cf.ThreadPoolExecutor(max_workers=16) as ex:
+                futs = [ex.submit(compile_one, j) for j in jobs.values()]
+                for f in futs:
+                    try:
+                        f.result()
+                    except Exception as e:  # noqa: BLE001 best-effort
+                        dbg(1, f"precompile miss (will compile inline): "
+                               f"{type(e).__name__}: {e}")
 
     def refactor(self, matrix: SparseMatrix) -> None:
         """New numeric values, same pattern (Newton-iteration reuse)."""
@@ -1157,5 +1223,9 @@ class JaxMultifrontal:
         W = self._put_rhs(Wh)       # rhs-axis sharded if the mesh has one
         with jax.default_matmul_precision("highest"):
             W = self._solve_jit[nrhs](W, self.factors, self._flatten_consts())
-        X = np.asarray(W[:self.flat_len], dtype=np.float64)
+        # slice on host AFTER the transfer: a device-side W[:flat_len]
+        # compiles a throwaway slice program whose compile request can
+        # queue minutes behind the big solve/refine compiles on a cold
+        # remote-compile TPU (measured 292s for the 2-op slice)
+        X = np.asarray(W, dtype=np.float64)[:self.flat_len]
         return X[:, 0] if single else X

@@ -331,6 +331,58 @@ class DeviceRefiner:
     def _make_cycle(self, m: int, nrhs: int, dtype=jnp.float32):
         return jax.jit(self._cycle_body(m, nrhs, dtype))
 
+    def _prefetch(self, padn: int) -> None:
+        """Compile this refinement's device programs in parallel
+        background threads, overlapping the plain-IR outers and each
+        other. Each program embeds the whole multifrontal solve, so on a
+        remote-compile TPU they are the dominant cost of a truly cold
+        solve (~minutes) when compiled serially at first use. Jit objects
+        are created here (main thread) and only lowered/compiled in the
+        background, so the solve loop reuses the same in-memory caches;
+        failures just fall back to compile-on-first-use."""
+        import concurrent.futures as cf
+        if (jax.default_backend() != "tpu"
+                or getattr(self, "_prefetched", None) == padn):
+            return
+        self._prefetched = padn
+        eng = self.engine
+        sd = jax.ShapeDtypeStruct
+        jobs = []
+        if padn not in eng._solve_jit:
+            eng._solve_jit[padn] = jax.jit(eng._solve_program,
+                                           donate_argnums=(0,))
+        jobs.append((eng._solve_jit[padn],
+                     (sd((eng.flat_len + 1, padn), eng.prec), eng.factors,
+                      eng._flatten_consts())))
+        env32 = self._env(jnp.float32)
+        for m_t in {self._m, min(2 * self._m, self.m)}:
+            key = (m_t, padn, "gmres")
+            if key not in self._fused_jit:
+                self._fused_jit[key] = self._make_fused(
+                    m_t, padn, K=self.max_cycles, dtype=jnp.float32)
+            jobs.append((self._fused_jit[key],
+                         (sd((self.n, padn), jnp.float64),
+                          sd((self.n, padn), jnp.float64), env32, self.tol)))
+        ckey = (self._m, padn, "polish")
+        if ckey not in self._cycle_jit:
+            self._cycle_jit[ckey] = self._make_cycle(self._m, padn,
+                                                     dtype=jnp.float32)
+        jobs.append((self._cycle_jit[ckey],
+                     (sd((self.n, padn), jnp.float32), env32)))
+
+        def compile_one(job):
+            fn, args = job
+            try:
+                with jax.default_matmul_precision("highest"):
+                    fn.lower(*args).compile()
+            except Exception as e:  # noqa: BLE001 best-effort
+                dbg(1, f"refine prefetch miss: {type(e).__name__}: {e}")
+
+        ex = cf.ThreadPoolExecutor(max_workers=4)
+        for j in jobs:
+            ex.submit(compile_one, j)
+        ex.shutdown(wait=False)
+
     # -- host driver --------------------------------------------------------
 
     def solve(self, B: np.ndarray) -> np.ndarray:
@@ -345,6 +397,7 @@ class DeviceRefiner:
         # Krylov iteration stalled outright (measured at gx3); width >= 4
         # behaves
         padn = max(4, nrhs)
+        self._prefetch(padn)
         Bp = np.zeros((self.n, padn))
         Bp[:, :nrhs] = B
         X = np.zeros_like(Bp)
