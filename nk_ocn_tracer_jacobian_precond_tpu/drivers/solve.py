@@ -160,6 +160,13 @@ def main(argv=None) -> int:
     p.add_argument("--memplan", action="store_true",
                    help="print the per-device memory plan for this matrix "
                         "and device count, then exit (no factorization)")
+    p.add_argument("--rhs-chunk", type=int, default=32,
+                   help="stream tracer RHS groups through the solver this "
+                        "many at a time (bounded staging, the get_B_dist "
+                        "analog)")
+    p.add_argument("--rhs-devices", type=int, default=1,
+                   help="devices of the mesh to dedicate to an rhs "
+                        "(data-parallel multi-RHS) axis")
     p.add_argument("matrix_fname")
     p.add_argument("inout_fname", nargs="?", default=None)
     args = p.parse_args(argv)
@@ -187,7 +194,8 @@ def main(argv=None) -> int:
     try:
         run_solve(args.matrix_fname, args.inout_fname, args.vars,
                   backend=args.backend, dbg_lvl=args.dbg_lvl,
-                  n_devices=n_devices)
+                  n_devices=n_devices, rhs_chunk=args.rhs_chunk,
+                  rhs_devices=args.rhs_devices)
     except Exception as e:  # noqa: BLE001 - CLI boundary
         print(f"solve: {e}", file=sys.stderr)
         return 1

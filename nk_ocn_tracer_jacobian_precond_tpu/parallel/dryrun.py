@@ -57,8 +57,10 @@ def run(n_devices: int) -> None:
                                     n_devices=n_devices)
     eng = fac.engine
     assert eng.mesh is not None
-    sharded = sum(1 for plan, (FP, _, _) in zip(eng.plans, eng.factors)
-                  if not FP.sharding.is_fully_replicated)
+    sharded = sum(1 for plan, (K, U12, _, _, _) in zip(eng.plans,
+                                                       eng.factors)
+                  if not (K.sharding.is_fully_replicated
+                          and U12.sharding.is_fully_replicated))
     assert sharded >= 1, "no factor round ended up sharded over the mesh"
 
     rng = np.random.default_rng(0)

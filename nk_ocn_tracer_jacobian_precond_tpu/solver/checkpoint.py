@@ -120,10 +120,14 @@ class FactorRoundCheckpointer:
                    f"rounds from {self.dir}")
         return done
 
-    def save_round(self, rnd: int, plan, FP, L21, perm,
+    def save_round(self, rnd: int, plan, K, U12, L21, perm,
                    S=None) -> None:
+        # on-disk format stores the concatenated [K | U12] block (the
+        # factor-layout-v2 file format is unchanged by the in-memory
+        # K/U12 split, so long runs resume across that code change)
         tmp = self._path(rnd) + ".tmp.npz"
-        np.savez(tmp, FP=np.asarray(FP), L21=np.asarray(L21),
+        FP = np.concatenate([np.asarray(K), np.asarray(U12)], axis=2)
+        np.savez(tmp, FP=FP, L21=np.asarray(L21),
                  perm=np.asarray(perm), meta=self._meta(plan),
                  nzhash=self.nzhash)
         os.replace(tmp, self._path(rnd))
@@ -133,13 +137,16 @@ class FactorRoundCheckpointer:
             os.replace(stmp, self._spath(rnd))
 
     def load_round(self, rnd: int, plan, eng, need_schur: bool):
-        """Returns (FP, L21, perm, S-or-None) device-placed with the
-        engine's shardings, or None if no valid checkpoint."""
+        """Returns (K, U12, L21, KD, perm, S-or-None) device-placed with
+        the engine's shardings, or None if no valid checkpoint."""
         with np.load(self._path(rnd), allow_pickle=False) as z:
-            FP = eng._put(z["FP"].astype(eng.prec), plan.B)
+            FP = z["FP"]
+            K = eng._put(FP[:, :, :plan.P].astype(eng.prec), plan.B)
+            U12 = eng._put(np.ascontiguousarray(
+                FP[:, :, plan.P:]).astype(eng.prec), plan.B)
             L21 = eng._put(z["L21"].astype(eng.prec), plan.B)
             perm = eng._put(z["perm"], plan.B)
-        FP, L21 = eng._shard_factors(plan, FP, L21)
+        K, U12, L21, KD = eng._shard_factors(plan, K, U12, L21)
         S = None
         if need_schur:
             spath = self._spath(rnd)
@@ -147,7 +154,7 @@ class FactorRoundCheckpointer:
                 return None     # consumer needs the Schur we don't have
             S = eng._shard_schur(plan, eng._put(
                 np.load(spath).astype(eng.prec), plan.B))
-        return FP, L21, perm, S
+        return K, U12, L21, KD, perm, S
 
     def has_schur(self, rnd: int) -> bool:
         return os.path.exists(self._spath(rnd))
@@ -175,8 +182,9 @@ def save_factors(path: str, fac) -> None:
     if fac.dr is not None:
         arrays["dr"] = fac.dr
         arrays["dc"] = fac.dc
-    for i, (FP, L21, perm) in enumerate(eng.factors):
-        arrays[f"r{i}_FP"] = np.asarray(FP)
+    for i, (K, U12, L21, perm, _KD) in enumerate(eng.factors):
+        arrays[f"r{i}_FP"] = np.concatenate(
+            [np.asarray(K), np.asarray(U12)], axis=2)
         arrays[f"r{i}_L21"] = np.asarray(L21)
         arrays[f"r{i}_perm"] = np.asarray(perm)
     np.savez(path, **arrays)
@@ -202,13 +210,16 @@ def load_factors(path: str, fac) -> None:
         if FP.shape != (plan.B, plan.P, plan.N):
             raise ValueError(f"round {i}: factor shape {FP.shape} != "
                              f"{(plan.B, plan.P, plan.N)}")
-        FPd = eng._put(FP.astype(eng.prec), plan.B)
+        Kd = eng._put(FP[:, :, :plan.P].astype(eng.prec), plan.B)
+        U12d = eng._put(np.ascontiguousarray(
+            FP[:, :, plan.P:]).astype(eng.prec), plan.B)
         L21d = eng._put(z[f"r{i}_L21"].astype(eng.prec), plan.B)
         # tree-top rounds shard along the front axes under a mesh
         # (mf_jax._shard_factors) — reapply on reload or the restored
         # factors would silently replicate
-        FPd, L21d = eng._shard_factors(plan, FPd, L21d)
-        factors.append((FPd, L21d, eng._put(z[f"r{i}_perm"], plan.B)))
+        Kd, U12d, L21d, KDd = eng._shard_factors(plan, Kd, U12d, L21d)
+        factors.append((Kd, U12d, L21d,
+                        eng._put(z[f"r{i}_perm"], plan.B), KDd))
     eng.factors = tuple(factors)
     if "dr" in z.files:
         fac.dr, fac.dc = z["dr"], z["dc"]

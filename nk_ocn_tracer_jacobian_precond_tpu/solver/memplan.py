@@ -7,7 +7,9 @@ rebuild's equivalent question — "how many chips does this problem need?"
 — is answerable *before* factorization, because the round plans fix every
 padded shape. This module walks a plan and reports:
 
-  * resident factor bytes per round (FP (B,P,N) + L21 (B,M,P) + perm),
+  * resident factor bytes per round (K (B,P,P) + U12 (B,P,M) +
+    L21 (B,M,P) + perm, plus the replicated KD diagonal stack on
+    masked row-sharded rounds),
   * the Schur-complement live set over the round schedule (a round's
     (B,M,M) stack stays allocated until its last consuming round), and
   * the per-round transient peak (the full (B,N,N) front stack plus the
@@ -91,16 +93,26 @@ def plan_memory(plans, n_devices: int = 1, bytes_per_elem: int = 4,
     live: dict[int, tuple[int, int]] = {}   # rnd -> (bytes, dev_bytes)
     schur_peak = schur_peak_dev = 0
     trans_peak = trans_peak_dev = 0
+    PANEL = 128   # mirrors mf_jax.PANEL (diagonal-block size)
     for rnd, plan in enumerate(plans):
         B, P, N, M = plan.B, plan.P, plan.N, plan.M
-        fp = B * P * N * e
+        k_b = B * P * P * e
+        u12 = B * P * M * e
         l21 = B * M * P * e
         perm = B * P * 4
-        f_bytes = fp + l21 + perm
-        fac_tot += f_bytes
         q = N >= row_shard_min and N % max(n_devices, 1) == 0
-        f_dev = (shard_dim(fp, B, N, q) + shard_dim(l21, B, M, q)
-                 + shard(perm, B))
+        # masked row-sharded rounds additionally hold the replicated
+        # PANEL-diagonal stack KD (B, P/bs, bs, bs) — see _shard_factors
+        bs = min(PANEL, P)
+        kd = 0
+        if (q and n_devices > 1 and B % n_devices != 0
+                and P % n_devices == 0 and bs and P % bs == 0):
+            kd = B * P * bs * e
+        f_bytes = k_b + u12 + l21 + perm + kd
+        fac_tot += f_bytes
+        qk = q and bs and P % bs == 0   # engine shards K only with a KD
+        f_dev = (shard_dim(k_b, B, P, qk) + shard_dim(u12, B, M, q)
+                 + shard_dim(l21, B, M, q) + shard(perm, B) + kd)
         fac_dev += f_dev
         # transient working set of this round: the full (B,N,N) front
         # stack, the assembly index arrays, and the bounded extend-add

@@ -531,6 +531,53 @@ def _block_upper_apply(K, rhs):
     return jnp.concatenate(xs, axis=1) if len(xs) > 1 else xs[0]
 
 
+def _extract_diag_blocks(K, bs: int):
+    """The PANEL diagonal blocks of a packed pivot block K (B, P, P) as a
+    replicated stack (B, P//bs, bs, bs) — the masked substitution path
+    reads diagonal blocks from here so it never slices K's device-sharded
+    column axis."""
+    B, Pdim, _ = K.shape
+    nblk = Pdim // bs
+    blocks = K.reshape(B, nblk, bs, nblk, bs)
+    ar = jnp.arange(nblk)
+    return jnp.transpose(blocks[:, ar, :, ar], (1, 0, 2, 3))
+
+
+_extract_diag_blocks_jit = jax.jit(_extract_diag_blocks,
+                                   static_argnames=("bs",))
+
+
+def _block_lower_apply_masked(K, KD, rhs):
+    """y = L11^-1 rhs when K's COLUMN axis is device-sharded (front-axis
+    rounds, _shard_factors): each step contracts the full-width row block
+    K[:, o:o+bs, :] against a zero-padded carry, so GSPMD lowers it to a
+    local GEMM + psum over the mesh instead of rematerializing replicated
+    K slices (the round-1 XLA reshard warning — an all-gather of GBs of
+    tree-top factors per solve). Reads 2x the entries of
+    _block_lower_apply, but each device touches only its own 1/ndev
+    shard; diagonal blocks come from the replicated KD stack."""
+    bs = KD.shape[-1]
+    Pdim = rhs.shape[1]
+    y = jnp.zeros_like(rhs)
+    for i, o in enumerate(range(0, Pdim, bs)):
+        t = rhs[:, o:o + bs] - _mm(K[:, o:o + bs, :], y)
+        t = t + _mm(jnp.tril(KD[:, i], -1), t)
+        y = jax.lax.dynamic_update_slice(y, t, (0, o, 0))
+    return y
+
+
+def _block_upper_apply_masked(K, KD, rhs):
+    """x = U11^-1 rhs, masked form (layout/sharding as above)."""
+    bs = KD.shape[-1]
+    Pdim = rhs.shape[1]
+    x = jnp.zeros_like(rhs)
+    for o in range(Pdim - bs, -1, -bs):
+        t = rhs[:, o:o + bs] - _mm(K[:, o:o + bs, :], x)
+        t = _mm(jnp.triu(KD[:, o // bs]), t)
+        x = jax.lax.dynamic_update_slice(x, t, (0, o, 0))
+    return x
+
+
 def _block_upper_apply_right(K, rhs):
     """X = rhs @ U11^-1 (right-side solve X U11 = rhs) by block forward
     substitution over column blocks; rhs (B, M, P)."""
@@ -552,11 +599,13 @@ def _finish_factor(F, lu, perm, P: int):
     inverses, form U12/L21 by block substitution, Schur-update the
     border.
 
-    The factors are stored PACKED: FP = [K | U12] (B, P, N) with K the
-    _pack_diag_inv layout (raw off-diagonal L/U blocks, inverted+packed
-    PANEL diagonal blocks), plus L21 (B, M, P). Packing saves a P^2
-    block per front (1.3 GB at gx3deep, where single-chip HBM is the
-    binding constraint); see _pack_diag_inv for why substitution
+    The factors are stored as K (B, P, P) — the _pack_diag_inv layout
+    (raw off-diagonal L/U blocks, inverted+packed PANEL diagonal blocks)
+    — plus U12 (B, P, M) and L21 (B, M, P). K and U12 are SEPARATE
+    arrays (not the round-1 concatenated [K | U12]) so a device mesh can
+    shard each along the axis its solve GEMM contracts over without the
+    solve slicing a sharded axis (see _shard_factors); total resident
+    bytes are identical. See _pack_diag_inv for why substitution
     replaced full explicit inverses."""
     N = F.shape[-1]
     K = _pack_diag_inv(lu)
@@ -570,8 +619,7 @@ def _finish_factor(F, lu, perm, P: int):
         U12 = jnp.zeros((F.shape[0], P, 0), dtype=F.dtype)
         L21 = jnp.zeros((F.shape[0], 0, P), dtype=F.dtype)
         S = jnp.zeros((F.shape[0], 0, 0), dtype=F.dtype)
-    FP = jnp.concatenate([K, U12], axis=2)
-    return FP, L21, S, perm
+    return K, U12, L21, S, perm
 
 
 def _partial_factor_small_batch(F, P: int, tau):
@@ -610,8 +658,7 @@ def _partial_factor_body(F, P: int, p_arr, tau=0.0, use_pallas: bool = False,
     4-6x faster than the XLA fori_loop formulation, which round-trips the
     batched panel through HBM every column).
 
-    Returns (FA, FB, S, perm): FA = [L11^-1 | U12] (B, P, N),
-    FB = [U11^-1 ; L21] (B, N, P) — see _finish_factor for the layout
+    Returns (K, U12, L21, S, perm) — see _finish_factor for the layout
     rationale; S = F22 - L21 @ U12; perm (B, P) maps solve positions to
     original eliminated-row order (border rows are never permuted). Only
     these blocks survive — the factored border x border quadrant is dead
@@ -684,10 +731,9 @@ def _partial_factor_body(F, P: int, p_arr, tau=0.0, use_pallas: bool = False,
     # pack the pivot block for the solve's block substitution: only the
     # PANEL diagonal blocks are inverted (see _pack_diag_inv for the
     # accuracy rationale); U12/L21 were already TRSM'd in place by the
-    # panel loop. Layout matches _finish_factor (packed K).
+    # panel loop. Layout matches _finish_factor (split K / U12).
     K = _pack_diag_inv(F[:, :P, :P])
-    FP = jnp.concatenate([K, F[:, :P, P:]], axis=2)
-    return FP, F[:, P:, :P], S, perm_total
+    return K, F[:, :P, P:], F[:, P:, :P], S, perm_total
 
 
 _partial_factor = jax.jit(_partial_factor_body,
@@ -709,16 +755,17 @@ def _set_own(W, vals, cells_own, own_rb):
     return W.at[cells_own.reshape(-1)].set(flat, mode="drop")
 
 
-def _fwd_round(W, FP, L21, perm, cells_own, cells_bor, own_rb=None):
+def _fwd_round(W, K, U12, L21, perm, KD, cells_own, cells_bor, own_rb=None):
     """Forward substitution for one round, batched over fronts: block
     substitution against the packed pivot block (_pack_diag_inv layout).
+    A non-None KD (replicated diagonal-block stack) selects the masked
+    substitution that keeps column-sharded K local to each device.
 
     W is (flat_len+1, nrhs) with a trailing dump row for padding."""
-    P = cells_own.shape[1]
-    K = FP[:, :, :P]
     rhs = W[cells_own]                                  # (B, P, nrhs)
     rhs = jnp.take_along_axis(rhs, perm[:, :, None], axis=1)
-    y = _block_lower_apply(K, rhs)
+    y = (_block_lower_apply_masked(K, KD, rhs) if KD is not None
+         else _block_lower_apply(K, rhs))
     W = _set_own(W, y, cells_own, own_rb)
     upd = _mm(L21, y)
     W = W.at[cells_bor.reshape(-1)].add(-upd.reshape(-1, y.shape[-1]),
@@ -726,15 +773,14 @@ def _fwd_round(W, FP, L21, perm, cells_own, cells_bor, own_rb=None):
     return W
 
 
-def _bwd_round(W, FP, L21, cells_own, cells_bor, own_rb=None):
+def _bwd_round(W, K, U12, L21, KD, cells_own, cells_bor, own_rb=None):
     """Backward substitution: x = U11^-1 (rhs - U12 xb), by block
     substitution on the packed pivot block."""
-    P = cells_own.shape[1]
-    K = FP[:, :, :P]
     rhs = W[cells_own]
     xb = W[cells_bor]
-    rhs = rhs - _mm(FP[:, :, P:], xb)
-    x = _block_upper_apply(K, rhs)
+    rhs = rhs - _mm(U12, xb)
+    x = (_block_upper_apply_masked(K, KD, rhs) if KD is not None
+         else _block_upper_apply(K, rhs))
     return _set_own(W, x, cells_own, own_rb)
 
 
@@ -867,27 +913,52 @@ class JaxMultifrontal:
         return (plan.B % ndev != 0 and plan.N >= self.ROW_SHARD_MIN
                 and plan.N % ndev == 0)
 
-    def _shard_factors(self, plan, FP, L21):
-        """Apply front-axis shardings to one round's stored factors."""
+    def _shard_factors(self, plan, K, U12, L21):
+        """Apply front-axis shardings to one round's stored factors.
+
+        Each array is sharded along the axis its solve GEMM contracts
+        over, so GSPMD lowers every solve-side op to a local GEMM + psum
+        with NO resharding of the stored factors (the round-1 design
+        stored [K | U12] concatenated and the solve's static slices of
+        the sharded axis forced XLA to rematerialize replicated copies
+        every solve — the reshard warning in BENCH_NOTES):
+          K   (B, P, P): columns sharded; consumed masked (KD holds the
+              replicated diagonal blocks so no sharded-axis slicing).
+          U12 (B, P, M): border axis sharded — contracts against xb.
+          L21 (B, M, P): row axis M sharded — output psum-free, the
+              (B, M, nrhs) update is all-gathered into W (the
+              information-theoretic minimum traffic for that step).
+        Returns (K, U12, L21, KD); KD is None off the masked path."""
         if not self._row_sharded(plan):
-            return FP, L21
+            return K, U12, L21, None
         from jax.sharding import NamedSharding, PartitionSpec as PS
         ndev = self.mesh.shape[self.mesh_axis]
 
         def put(x, axis_size, spec):
             if axis_size % ndev != 0 or axis_size == 0:
-                return x
+                return None
             s = NamedSharding(self.mesh, spec)
             if isinstance(x, jax.core.Tracer):
                 return jax.lax.with_sharding_constraint(x, s)
             return jax.device_put(x, s)
 
-        # FP (B, P, N): shard the last (column) axis; L21 (B, M, P):
-        # shard the row axis M (its P axis is the solve contraction dim
-        # against y, whose psum pairs with FP's)
-        FP = put(FP, plan.N, PS(None, None, self.mesh_axis))
-        L21 = put(L21, plan.M, PS(None, self.mesh_axis, None))
-        return FP, L21
+        KD = None
+        bs = min(PANEL, plan.P)
+        if plan.P % ndev == 0 and plan.P % bs == 0:
+            KD = _extract_diag_blocks_jit(K, bs=bs)
+            Ks = put(K, plan.P, PS(None, None, self.mesh_axis))
+            if Ks is not None:
+                K = Ks
+            else:
+                KD = None       # replicated K: plain substitution path
+        if plan.M:
+            U12s = put(U12, plan.M, PS(None, None, self.mesh_axis))
+            if U12s is not None:
+                U12 = U12s
+            L21s = put(L21, plan.M, PS(None, self.mesh_axis, None))
+            if L21s is not None:
+                L21 = L21s
+        return K, U12, L21, KD
 
     def _shard_schur(self, plan, S):
         """The Schur stacks of row-sharded rounds accumulate across the
@@ -1022,13 +1093,13 @@ class JaxMultifrontal:
                           and any(c not in done for c in consumers[rnd]))
                 loaded = ckpt.load_round(rnd, plan, self, need_schur=need_s)
                 if loaded is not None:
-                    FP, L21, perm, S = loaded
+                    K, U12, L21, KD, perm, S = loaded
                     for g in plan.child_groups:
                         uses[g.src_round] -= 1
                         if uses[g.src_round] == 0:
                             schur[g.src_round] = None
                             ckpt.drop_schur(g.src_round)
-                    factors.append((FP, L21, perm))
+                    factors.append((K, U12, L21, perm, KD))
                     schur[rnd] = S
                     continue
                 done.discard(rnd)   # checkpoint vanished mid-run: recompute
@@ -1043,15 +1114,15 @@ class JaxMultifrontal:
                     schur[src_rnd] = None
                     if ckpt is not None:
                         ckpt.drop_schur(src_rnd)
-            FP, L21, S, perm = _partial_factor(
+            K, U12, L21, S, perm = _partial_factor(
                 F, P=plan.P, p_arr=cc["p_arr"], tau=self._tau,
                 use_pallas=self._use_pallas,
                 allow_native_lu=self.mesh is None)
-            FP, L21 = self._shard_factors(plan, FP, L21)
-            factors.append((FP, L21, perm))
+            K, U12, L21, KD = self._shard_factors(plan, K, U12, L21)
+            factors.append((K, U12, L21, perm, KD))
             schur[rnd] = self._shard_schur(plan, S)
             if ckpt is not None:
-                ckpt.save_round(rnd, plan, FP, L21, perm,
+                ckpt.save_round(rnd, plan, K, U12, L21, perm,
                                 S if uses[rnd] > 0 else None)
             if self._sync_rounds and not self._fuse_factor:
                 # simulated (CPU) meshes only: with all virtual devices
@@ -1062,7 +1133,7 @@ class JaxMultifrontal:
                 # kills after its timeout. One program in flight at a
                 # time cannot starve itself. Real TPU meshes never take
                 # this branch.
-                jax.block_until_ready((FP, L21, perm, schur[rnd]))
+                jax.block_until_ready((K, U12, L21, perm, schur[rnd]))
                 import time
                 now = time.perf_counter()
                 dbg(1, f"factor round {rnd + 1}/{len(self.plans)} "
@@ -1124,7 +1195,7 @@ class JaxMultifrontal:
             # program + one tiny D2H forces the whole factor graph.
             probe = jax.jit(lambda fs: jnp.stack(
                 [a.ravel()[0].astype(jnp.float32)
-                 for f in fs for a in f if a.size]).sum())
+                 for f in fs for a in f if a is not None and a.size]).sum())
             float(probe(self.factors))
 
     def _precompile(self, nzval_ext, tau) -> None:
@@ -1196,13 +1267,13 @@ class JaxMultifrontal:
     def _solve_program(self, W, factors, flat_consts):
         consts = self._unflatten_consts(flat_consts)
         for rnd in range(len(self.plans)):
-            FP, L21, perm = factors[rnd]
-            W = _fwd_round(W, FP, L21, perm,
+            K, U12, L21, perm, KD = factors[rnd]
+            W = _fwd_round(W, K, U12, L21, perm, KD,
                            consts[rnd]["own"], consts[rnd]["bor"],
                            consts[rnd]["own_rb"])
         for rnd in range(len(self.plans) - 1, -1, -1):
-            FP, L21, perm = factors[rnd]
-            W = _bwd_round(W, FP, L21, consts[rnd]["own"],
+            K, U12, L21, perm, KD = factors[rnd]
+            W = _bwd_round(W, K, U12, L21, KD, consts[rnd]["own"],
                            consts[rnd]["bor"], consts[rnd]["own_rb"])
         return W
 

@@ -69,12 +69,12 @@ def test_distributed_factors_are_sharded(problem):
     mf = MultifrontalFactorization(matrix, impl="jax", maps=maps, mesh=mesh)
     eng = mf.engine
     sharded_rounds = 0
-    for plan, (FP, L21, perm) in zip(eng.plans, eng.factors):
+    for plan, (K, U12, L21, perm, KD) in zip(eng.plans, eng.factors):
         if plan.B % 8 == 0:
             # sharded over the front axis: each device holds B/8 fronts
-            assert not FP.sharding.is_fully_replicated, plan.B
-            shard_shape = FP.sharding.shard_shape(FP.shape)
-            assert shard_shape[0] == plan.B // 8
+            assert not K.sharding.is_fully_replicated, plan.B
+            assert K.sharding.shard_shape(K.shape)[0] == plan.B // 8
+            assert U12.sharding.shard_shape(U12.shape)[0] == plan.B // 8
             sharded_rounds += 1
     assert sharded_rounds >= 1
 
@@ -103,12 +103,23 @@ def test_row_sharded_big_fronts_match_single_device(problem):
                                          sym=mf_1.sym, n_devices=8)
         eng = mf_8.engine
         row_sharded = 0
-        for plan, (FP, L21, perm) in zip(eng.plans, eng.factors):
+        for plan, (K, U12, L21, perm, KD) in zip(eng.plans, eng.factors):
             if eng._row_sharded(plan):
-                assert not FP.sharding.is_fully_replicated, (plan.B, plan.N)
-                shape = FP.sharding.shard_shape(FP.shape)
-                assert shape[2] == plan.N // 8
-                row_sharded += 1
+                # K columns and U12 border axis each shard when divisible
+                any_sharded = False
+                if plan.P % 8 == 0:
+                    assert not K.sharding.is_fully_replicated, (plan.B,
+                                                                plan.P)
+                    assert K.sharding.shard_shape(K.shape)[2] == plan.P // 8
+                    assert KD is not None  # masked substitution engaged
+                    any_sharded = True
+                if plan.M and plan.M % 8 == 0:
+                    assert not U12.sharding.is_fully_replicated
+                    assert (U12.sharding.shard_shape(U12.shape)[2]
+                            == plan.M // 8)
+                    any_sharded = True
+                if any_sharded:
+                    row_sharded += 1
         assert row_sharded >= 1, "no round exercised row sharding"
         rng = np.random.default_rng(7)
         B = rng.standard_normal((matrix.flat_len, 3))
@@ -158,8 +169,11 @@ def test_memplan_matches_mesh_shard_sizes(problem):
     itemsize = np.dtype(eng.prec).itemsize
     mp = plan_memory(eng.plans, n_devices=8, bytes_per_elem=itemsize)
     actual_dev = 0
-    for FP, L21, perm in eng.factors:
-        for arr, isz in ((FP, itemsize), (L21, itemsize), (perm, 4)):
+    for K, U12, L21, perm, KD in eng.factors:
+        arrs = [(K, itemsize), (U12, itemsize), (L21, itemsize), (perm, 4)]
+        if KD is not None:
+            arrs.append((KD, itemsize))
+        for arr, isz in arrs:
             if arr.size == 0:
                 continue
             shp = arr.sharding.shard_shape(arr.shape)

@@ -36,8 +36,10 @@ def test_factor_bytes_match_engine_allocations(problem):
     itemsize = np.dtype(eng.prec).itemsize
     mp = plan_memory(eng.plans, n_devices=1, bytes_per_elem=itemsize)
     actual = 0
-    for FP, L21, perm in eng.factors:
-        actual += FP.size * itemsize + L21.size * itemsize + perm.size * 4
+    for K, U12, L21, perm, KD in eng.factors:
+        actual += (K.size + U12.size + L21.size) * itemsize + perm.size * 4
+        if KD is not None:
+            actual += KD.size * itemsize
     assert actual == mp.factor_bytes_total
     assert mp.factor_bytes_per_device == mp.factor_bytes_total
     assert mp.peak_per_device >= mp.factor_bytes_total
