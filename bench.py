@@ -196,7 +196,12 @@ def main():
     p.add_argument("--size", default=os.environ.get("NK_BENCH_SIZE", "gx3"),
                    choices=list(SIZES))
     p.add_argument("--nrhs", type=int, default=4)
-    p.add_argument("--tol", type=float, default=1e-11)
+    # the workflow contract is relative residual <= 1e-10 (BASELINE.md);
+    # the refiner's outer loop checks it with exact host float64
+    # residuals, so a converged solve meets it BY CONSTRUCTION — a
+    # tighter tol only buys extra refinement outers (measured ~0.6-1.1s
+    # per solve at gx3/gx3deep for 1e-11)
+    p.add_argument("--tol", type=float, default=1e-10)
     p.add_argument("--impl", default="jax", choices=["jax", "numpy"])
     p.add_argument("--cache", default=os.path.join(REPO, ".bench_cache"))
     p.add_argument("--reuse-baseline", action="store_true",

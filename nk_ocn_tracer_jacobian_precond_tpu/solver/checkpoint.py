@@ -178,7 +178,8 @@ def save_factors(path: str, fac) -> None:
     """
     eng = fac.engine
     arrays = {"n_rounds": np.array([len(eng.factors)]),
-              "flat_len": np.array([eng.flat_len])}
+              "flat_len": np.array([eng.flat_len]),
+              "pack_bs": np.array([getattr(eng, "_pack_bs", 128)])}
     if fac.dr is not None:
         arrays["dr"] = fac.dr
         arrays["dc"] = fac.dc
@@ -204,6 +205,11 @@ def load_factors(path: str, fac) -> None:
                          f"{len(eng.plans)} — pattern mismatch")
     if int(z["flat_len"][0]) != eng.flat_len:
         raise ValueError("checkpoint flat_len mismatch")
+    ck_bs = int(z["pack_bs"][0]) if "pack_bs" in z.files else 128
+    if ck_bs != getattr(eng, "_pack_bs", 128):
+        raise ValueError(f"checkpoint pack_bs {ck_bs} != engine "
+                         f"{getattr(eng, '_pack_bs', 128)} (set NK_SOLVE_BS "
+                         f"to match or refactor)")
     factors = []
     for i, plan in enumerate(eng.plans):
         FP = z[f"r{i}_FP"]

@@ -48,6 +48,17 @@ from .symbolic import SymbolicFactorization
 LANE = 128
 PANEL = 128
 
+# Solve-side packed-inverse block size (single-device engines): the
+# factorization's pivot blocks are repacked with inverted SOLVE_BS-wide
+# diagonal blocks, so a triangular apply costs P/SOLVE_BS sequential
+# GEMM steps per round instead of P/PANEL. Larger blocks cut the warm
+# solve's dispatch-critical-path ~linearly; apply error grows with the
+# bs-block conditioning and is absorbed by GMRES-IR (measured: see
+# BENCH_NOTES). Mesh engines pin 128 (the masked substitution's KD
+# stack and checkpoint compatibility).
+import os as _os
+SOLVE_BS = int(_os.environ.get("NK_SOLVE_BS", "512"))
+
 
 def _round_up(x: int, m: int) -> int:
     return max(m, (x + m - 1) // m * m)
@@ -460,8 +471,8 @@ def _seq_to_perm(piv, R: int):
     return jax.lax.fori_loop(0, T, body, perm)
 
 
-def _pack_diag_inv(LU):
-    """Replace each PANEL-sized diagonal block of a packed LU (B, P, P)
+def _pack_diag_inv(LU, bs: int = PANEL):
+    """Replace each bs-sized diagonal block of a packed LU (B, P, P)
     with stril(L_ii^-1, -1) + triu(U_ii^-1); off-diagonal blocks keep the
     raw L/U values. This is the factor layout the solve's block
     substitution (_block_lower_apply/_block_upper_apply) consumes.
@@ -472,26 +483,30 @@ def _pack_diag_inv(LU):
     growth probe 2026-08-17), and a float32 full inverse carries forward
     error ~ eps32 * kappa — measured as a ~1.5e-2 preconditioner apply
     error that forced ~1.5-digit-per-cycle GMRES-IR refinement. Block
-    substitution is backward-stable across blocks (only the 128-wide
+    substitution is backward-stable across blocks (only the bs-wide
     diagonal blocks are inverted, whose conditioning is what a TRSM step
     sees), restoring direct-solver apply accuracy, while every op stays
     a batched MXU GEMM — XLA:TPU's own triangular_solve over the full P
     is serial in the panel count and latency-poison when the solve is
-    reapplied as a Krylov preconditioner."""
+    reapplied as a Krylov preconditioner.
+
+    The block size trades apply latency (sequential steps = P/bs per
+    round, the dominant term of a warm solve dispatch) against apply
+    accuracy (error ~ eps32 * kappa(bs-block)); see SOLVE_BS."""
     B, Pdim, _ = LU.shape
-    bs = min(PANEL, Pdim)          # padded dims are powers of two below 128
-    eye = jnp.eye(bs, dtype=LU.dtype)
     out = LU
     for o in range(0, Pdim, bs):
-        Ti = jax.lax.dynamic_slice(LU, (0, o, o), (B, bs, bs))
-        Li = triangular_solve(Ti, jnp.broadcast_to(eye, (B, bs, bs)),
+        T = min(bs, Pdim - o)
+        Ti = LU[:, o:o + T, o:o + T]
+        eye = jnp.eye(T, dtype=LU.dtype)
+        Li = triangular_solve(Ti, jnp.broadcast_to(eye, (B, T, T)),
                               left_side=True, lower=True,
                               unit_diagonal=True)
-        Ui = triangular_solve(Ti, jnp.broadcast_to(eye, (B, bs, bs)),
+        Ui = triangular_solve(Ti, jnp.broadcast_to(eye, (B, T, T)),
                               left_side=True, lower=False,
                               unit_diagonal=False)
         Ki = jnp.tril(Li, -1) + jnp.triu(Ui)
-        out = jax.lax.dynamic_update_slice(out, Ki, (0, o, o))
+        out = out.at[:, o:o + T, o:o + T].set(Ki)
     return out
 
 
@@ -500,33 +515,33 @@ def _mm(a, b):
                       precision=jax.lax.Precision.HIGHEST)
 
 
-def _block_lower_apply(K, rhs):
+def _block_lower_apply(K, rhs, bs: int = PANEL):
     """y = L11^-1 rhs by block forward substitution. K is the
     _pack_diag_inv layout (B, P, >=P) — only its leading (P, P) block is
     read; rhs (B, P, nrhs). All slices are static, every op a GEMM."""
-    B, Pdim = rhs.shape[0], rhs.shape[1]
-    bs = min(PANEL, Pdim)
+    Pdim = rhs.shape[1]
     ys = []
     for o in range(0, Pdim, bs):
-        t = rhs[:, o:o + bs]
+        T = min(bs, Pdim - o)
+        t = rhs[:, o:o + T]
         if o:
-            t = t - _mm(K[:, o:o + bs, :o], jnp.concatenate(ys, axis=1))
-        KD = K[:, o:o + bs, o:o + bs]
+            t = t - _mm(K[:, o:o + T, :o], jnp.concatenate(ys, axis=1))
+        KD = K[:, o:o + T, o:o + T]
         ys.append(t + _mm(jnp.tril(KD, -1), t))
     return jnp.concatenate(ys, axis=1) if len(ys) > 1 else ys[0]
 
 
-def _block_upper_apply(K, rhs):
+def _block_upper_apply(K, rhs, bs: int = PANEL):
     """x = U11^-1 rhs by block backward substitution (layout as above)."""
-    B, Pdim = rhs.shape[0], rhs.shape[1]
-    bs = min(PANEL, Pdim)
+    Pdim = rhs.shape[1]
     xs = []
-    for o in range(Pdim - bs, -1, -bs):
-        t = rhs[:, o:o + bs]
+    for o in reversed(range(0, Pdim, bs)):
+        T = min(bs, Pdim - o)
+        t = rhs[:, o:o + T]
         if xs:
-            t = t - _mm(K[:, o:o + bs, o + bs:Pdim],
+            t = t - _mm(K[:, o:o + T, o + T:Pdim],
                         jnp.concatenate(xs, axis=1))
-        KD = K[:, o:o + bs, o:o + bs]
+        KD = K[:, o:o + T, o:o + T]
         xs.insert(0, _mm(jnp.triu(KD), t))
     return jnp.concatenate(xs, axis=1) if len(xs) > 1 else xs[0]
 
@@ -578,22 +593,22 @@ def _block_upper_apply_masked(K, KD, rhs):
     return x
 
 
-def _block_upper_apply_right(K, rhs):
+def _block_upper_apply_right(K, rhs, bs: int = PANEL):
     """X = rhs @ U11^-1 (right-side solve X U11 = rhs) by block forward
     substitution over column blocks; rhs (B, M, P)."""
     Pdim = rhs.shape[2]
-    bs = min(PANEL, Pdim)
     xs = []
     for o in range(0, Pdim, bs):
-        t = rhs[:, :, o:o + bs]
+        T = min(bs, Pdim - o)
+        t = rhs[:, :, o:o + T]
         if o:
-            t = t - _mm(jnp.concatenate(xs, axis=2), K[:, :o, o:o + bs])
-        KD = K[:, o:o + bs, o:o + bs]
+            t = t - _mm(jnp.concatenate(xs, axis=2), K[:, :o, o:o + T])
+        KD = K[:, o:o + T, o:o + T]
         xs.append(_mm(t, jnp.triu(KD)))
     return jnp.concatenate(xs, axis=2) if len(xs) > 1 else xs[0]
 
 
-def _finish_factor(F, lu, perm, P: int):
+def _finish_factor(F, lu, perm, P: int, pack_bs: int = PANEL):
     """Shared tail of the partial factorization once the pivot block's
     packed LU and row permutation are known: pack the diagonal-block
     inverses, form U12/L21 by block substitution, Schur-update the
@@ -608,12 +623,12 @@ def _finish_factor(F, lu, perm, P: int):
     bytes are identical. See _pack_diag_inv for why substitution
     replaced full explicit inverses."""
     N = F.shape[-1]
-    K = _pack_diag_inv(lu)
+    K = _pack_diag_inv(lu, pack_bs)
     bord = N - P
     if bord > 0:
         F12p = jnp.take_along_axis(F[:, :P, P:], perm[:, :, None], axis=1)
-        U12 = _block_lower_apply(K, F12p)
-        L21 = _block_upper_apply_right(K, F[:, P:, :P])
+        U12 = _block_lower_apply(K, F12p, pack_bs)
+        L21 = _block_upper_apply_right(K, F[:, P:, :P], pack_bs)
         S = F[:, P:, P:] - _mm(L21, U12)
     else:
         U12 = jnp.zeros((F.shape[0], P, 0), dtype=F.dtype)
@@ -622,7 +637,7 @@ def _finish_factor(F, lu, perm, P: int):
     return K, U12, L21, S, perm
 
 
-def _partial_factor_small_batch(F, P: int, tau):
+def _partial_factor_small_batch(F, P: int, tau, pack_bs: int = PANEL):
     """Root-of-tree rounds (tiny batch, large pivot block): XLA's native
     batched LU is ~7x faster there than the hand-blocked panel loop (which
     is latency-bound in its sequential column steps), while at large batch
@@ -644,11 +659,12 @@ def _partial_factor_small_batch(F, P: int, tau):
     d = lu[:, ar, ar]
     d = jnp.where(jnp.abs(d) < tau, jnp.where(d < 0, -tau, tau), d)
     lu = lu.at[:, ar, ar].set(d)
-    return _finish_factor(F, lu, perm.astype(jnp.int32), P)
+    return _finish_factor(F, lu, perm.astype(jnp.int32), P, pack_bs)
 
 
 def _partial_factor_body(F, P: int, p_arr, tau=0.0, use_pallas: bool = False,
-                         allow_native_lu: bool = True):
+                         allow_native_lu: bool = True,
+                         pack_bs: int = PANEL):
     """Blocked LU with restricted partial pivoting of F[:, :P, :P]; TRSM of
     the off-blocks; Schur update.
 
@@ -674,7 +690,7 @@ def _partial_factor_body(F, P: int, p_arr, tau=0.0, use_pallas: bool = False,
         # GSPMD partitioning rule, so under a mesh the hand-blocked path
         # below (purely batch-elementwise ops + GEMMs) keeps the round
         # sharded instead of all-gathering the biggest fronts
-        return _partial_factor_small_batch(F, P, tau)
+        return _partial_factor_small_batch(F, P, tau, pack_bs)
     perm_total = jnp.tile(jnp.arange(P, dtype=jnp.int32)[None, :], (B, 1))
     nb = (P + PANEL - 1) // PANEL
     for t in range(nb):
@@ -732,13 +748,13 @@ def _partial_factor_body(F, P: int, p_arr, tau=0.0, use_pallas: bool = False,
     # PANEL diagonal blocks are inverted (see _pack_diag_inv for the
     # accuracy rationale); U12/L21 were already TRSM'd in place by the
     # panel loop. Layout matches _finish_factor (split K / U12).
-    K = _pack_diag_inv(F[:, :P, :P])
+    K = _pack_diag_inv(F[:, :P, :P], pack_bs)
     return K, F[:, :P, P:], F[:, P:, :P], S, perm_total
 
 
 _partial_factor = jax.jit(_partial_factor_body,
                           static_argnames=("P", "use_pallas",
-                                           "allow_native_lu"))
+                                           "allow_native_lu", "pack_bs"))
 
 
 def _set_own(W, vals, cells_own, own_rb):
@@ -755,7 +771,8 @@ def _set_own(W, vals, cells_own, own_rb):
     return W.at[cells_own.reshape(-1)].set(flat, mode="drop")
 
 
-def _fwd_round(W, K, U12, L21, perm, KD, cells_own, cells_bor, own_rb=None):
+def _fwd_round(W, K, U12, L21, perm, KD, cells_own, cells_bor, own_rb=None,
+               bs: int = PANEL):
     """Forward substitution for one round, batched over fronts: block
     substitution against the packed pivot block (_pack_diag_inv layout).
     A non-None KD (replicated diagonal-block stack) selects the masked
@@ -765,7 +782,7 @@ def _fwd_round(W, K, U12, L21, perm, KD, cells_own, cells_bor, own_rb=None):
     rhs = W[cells_own]                                  # (B, P, nrhs)
     rhs = jnp.take_along_axis(rhs, perm[:, :, None], axis=1)
     y = (_block_lower_apply_masked(K, KD, rhs) if KD is not None
-         else _block_lower_apply(K, rhs))
+         else _block_lower_apply(K, rhs, bs))
     W = _set_own(W, y, cells_own, own_rb)
     upd = _mm(L21, y)
     W = W.at[cells_bor.reshape(-1)].add(-upd.reshape(-1, y.shape[-1]),
@@ -773,14 +790,15 @@ def _fwd_round(W, K, U12, L21, perm, KD, cells_own, cells_bor, own_rb=None):
     return W
 
 
-def _bwd_round(W, K, U12, L21, KD, cells_own, cells_bor, own_rb=None):
+def _bwd_round(W, K, U12, L21, KD, cells_own, cells_bor, own_rb=None,
+               bs: int = PANEL):
     """Backward substitution: x = U11^-1 (rhs - U12 xb), by block
     substitution on the packed pivot block."""
     rhs = W[cells_own]
     xb = W[cells_bor]
     rhs = rhs - _mm(U12, xb)
     x = (_block_upper_apply_masked(K, KD, rhs) if KD is not None
-         else _block_upper_apply(K, rhs))
+         else _block_upper_apply(K, rhs, bs))
     return _set_own(W, x, cells_own, own_rb)
 
 
@@ -836,6 +854,10 @@ class JaxMultifrontal:
         # see _factor_body: serialize chunk programs on simulated meshes
         self._sync_rounds = (mesh is not None
                              and jax.default_backend() == "cpu")
+        # solve-side packed-inverse block size (SOLVE_BS): mesh engines
+        # pin PANEL so the masked substitution's KD stack and the
+        # sharded-round checkpoint layout stay uniform
+        self._pack_bs = PANEL if mesh is not None else max(PANEL, SOLVE_BS)
         ndev_plan = (mesh.shape[self.mesh_axis] if mesh is not None else 1)
         with timed("build round plans"):
             self.plans = build_plan(sym, matrix, batch_multiple=ndev_plan)
@@ -1117,7 +1139,8 @@ class JaxMultifrontal:
             K, U12, L21, S, perm = _partial_factor(
                 F, P=plan.P, p_arr=cc["p_arr"], tau=self._tau,
                 use_pallas=self._use_pallas,
-                allow_native_lu=self.mesh is None)
+                allow_native_lu=self.mesh is None,
+                pack_bs=self._pack_bs)
             K, U12, L21, KD = self._shard_factors(plan, K, U12, L21)
             factors.append((K, U12, L21, perm, KD))
             schur[rnd] = self._shard_schur(plan, S)
@@ -1163,8 +1186,12 @@ class JaxMultifrontal:
             h.update(np.int64([self.flat_len, len(self.plans)]).tobytes())
             # factor LAYOUT version: bump when the stored-factor semantics
             # change (v2 = _pack_diag_inv block-substitution layout) so a
-            # resume can never mix checkpoints across layouts
+            # resume can never mix checkpoints across layouts; a
+            # non-default pack_bs changes the packed-K layout and keys in
+            # (128 stays bare "v2" so long mesh runs span this change)
             h.update(b"factor-layout-v2")
+            if self._pack_bs != PANEL:
+                h.update(f"pack_bs={self._pack_bs}".encode())
             self._ckpt = FactorRoundCheckpointer(self._ckpt_dir,
                                                  h.hexdigest())
         nzval_ext = self._put(nz, None)
@@ -1239,7 +1266,8 @@ class JaxMultifrontal:
                 (_partial_factor, (sd((B, N, N), f32),),
                  dict(P=P, p_arr=cc["p_arr"], tau=tau,
                       use_pallas=self._use_pallas,
-                      allow_native_lu=self.mesh is None)))
+                      allow_native_lu=self.mesh is None,
+                      pack_bs=self._pack_bs)))
 
         def compile_one(item):
             fn, args, kwargs = item
@@ -1270,11 +1298,12 @@ class JaxMultifrontal:
             K, U12, L21, perm, KD = factors[rnd]
             W = _fwd_round(W, K, U12, L21, perm, KD,
                            consts[rnd]["own"], consts[rnd]["bor"],
-                           consts[rnd]["own_rb"])
+                           consts[rnd]["own_rb"], bs=self._pack_bs)
         for rnd in range(len(self.plans) - 1, -1, -1):
             K, U12, L21, perm, KD = factors[rnd]
             W = _bwd_round(W, K, U12, L21, KD, consts[rnd]["own"],
-                           consts[rnd]["bor"], consts[rnd]["own_rb"])
+                           consts[rnd]["bor"], consts[rnd]["own_rb"],
+                           bs=self._pack_bs)
         return W
 
     def solve(self, b: np.ndarray) -> np.ndarray:
