@@ -118,7 +118,9 @@ def plan_memory(plans, n_devices: int = 1, bytes_per_elem: int = 4,
         # stack, the assembly index arrays, and the bounded extend-add
         # temporaries (~1 GB, see _extend_add's chunking)
         a_idx = (plan.a_pos.size * plan.a_pos.itemsize
-                 + plan.a_src.size * plan.a_src.itemsize)
+                 + plan.a_src.size * plan.a_src.itemsize
+                 + plan.a_col.size * plan.a_col.itemsize
+                 + plan.a_csrc.size * plan.a_csrc.itemsize)
         # extend-add temporaries: 3 arrays of (Lc, N, M_src+1), Lc chosen
         # so each stays under ~0.5 GB (_extend_add's chunking) — but never
         # more than the actual link total

@@ -131,8 +131,10 @@ class RoundPlan:
     P: int                 # padded eliminated size
     N: int                 # padded front size
     M: int                 # N - P (padded border size)
-    a_pos: np.ndarray      # (B, E) per-front scatter positions into N*N (pad -> N*N)
-    a_src: np.ndarray      # (B, E) indices into CSR nzval (pad -> nnz: extra zero)
+    a_col: np.ndarray      # (B, N, W) ELL front-column per row entry (pad -> 0)
+    a_csrc: np.ndarray     # (B, N, W) nzval index per row entry (pad -> nnz: zero)
+    a_pos: np.ndarray      # (B, E) SPILL scatter positions into N*N (pad -> N*N)
+    a_src: np.ndarray      # (B, E) SPILL indices into CSR nzval (pad -> nnz)
     p_arr: np.ndarray      # (B,) true eliminated count per front (0 for dummies)
     cells_own: np.ndarray  # (B, P) matrix indices of eliminated cells (pad -> flat_len)
     cells_bor: np.ndarray  # (B, M) matrix indices of border cells (pad -> flat_len)
@@ -283,24 +285,63 @@ def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
                 # (L, N) inv matrices are built batched per group below
                 q = cell_fpos[cf.cells[cf.p:]]
                 links.append((src_rnd, src_slot, b, q))
-        # per-front entry lists padded to a rectangle: pad positions point
-        # one past the front (dropped by the scatter), pad sources point at
-        # the sentinel zero appended to nzval
-        E = max(max((len(x) for x in pos_l), default=0), 1)
-        # padding entries point at DISTINCT overflow slots past N*N (the
-        # scatter buffer is N*N + E and gets truncated): every scatter
-        # index is then unique and in-bounds, which lets the device
-        # scatter run with unique_indices + promise_in_bounds — XLA:TPU
-        # serializes a scatter it cannot prove duplicate-free, and the
-        # assembly scatter was the single hottest factor kernel (17%)
+        # Assembly routing, hybrid ELL + spill (ELLPACK form): most
+        # entries pack into a per-row rectangle (B, N, W) consumed by the
+        # gather/compare assembly kernel — a fused, bandwidth-bound
+        # reduce with NO device scatter (the scatter was 31% of the
+        # factor at gx3 even with unique+in-bounds promises). W is the
+        # 98th-percentile row population of the chunk rounded up to a
+        # power of two (shape-bucket reuse); the tail rows' overflow
+        # entries spill to the old unique-index scatter, whose cost is
+        # negligible at spill sizes. ELL pads: col 0 + the nzval
+        # sentinel zero (adds 0.0 to column 0).
+        cnts = []
+        for b in range(B):
+            if len(pos_l[b]):
+                cnts.append(np.bincount(pos_l[b] // N, minlength=N))
+            else:
+                cnts.append(np.zeros(N, dtype=np.int64))
+        allc = np.concatenate(cnts)
+        occupied = allc[allc > 0]
+        if occupied.size:
+            w98 = int(np.quantile(occupied, 0.98))
+            W = 1 << max(2, int(np.ceil(np.log2(max(w98, 1)))))
+        else:
+            W = 4
+        a_col = np.zeros((B, N, W), dtype=np.int32)
+        a_csrc = np.full((B, N, W), nnz, dtype=np.int32)
+        spill_pos: list[np.ndarray] = [np.empty(0, np.int32)] * B
+        spill_src: list[np.ndarray] = [np.empty(0, np.int32)] * B
+        for b in range(B):
+            pos, src = pos_l[b], src_l[b]
+            if not len(pos):
+                continue
+            order = np.argsort(pos, kind="stable")
+            pos, src = pos[order], src[order]
+            rp = pos // N
+            cnt = cnts[b]
+            starts = np.cumsum(cnt) - cnt
+            slot = _ar(len(pos)) - starts[rp].astype(np.int32)
+            ell = slot < W
+            a_col[b, rp[ell], slot[ell]] = (pos[ell] % N).astype(np.int32)
+            a_csrc[b, rp[ell], slot[ell]] = src[ell]
+            if not ell.all():
+                spill_pos[b] = pos[~ell]
+                spill_src[b] = src[~ell]
+        E = max(max((len(x) for x in spill_pos), default=0), 1)
+        # spill padding entries point at DISTINCT overflow slots past N*N
+        # (the scatter buffer is N*N + E and gets truncated): every
+        # scatter index is unique and in-bounds, so the device scatter
+        # runs with unique_indices + promise_in_bounds (XLA:TPU
+        # serializes a scatter it cannot prove duplicate-free)
         if N * N + E >= 2 ** 31:
             raise ValueError(f"padded front {N}x{N} + {E} entries overflows "
                              f"the int32 scatter index space")
         a_pos = np.tile(N * N + np.arange(E, dtype=np.int32), (B, 1))
         a_src = np.full((B, E), nnz, dtype=np.int32)
         for b in range(B):
-            a_pos[b, :len(pos_l[b])] = pos_l[b]
-            a_src[b, :len(src_l[b])] = src_l[b]
+            a_pos[b, :len(spill_pos[b])] = spill_pos[b]
+            a_src[b, :len(spill_src[b])] = spill_src[b]
         groups: list[ChildGroup] = []
         for src_rnd in sorted({l[0] for l in links}):
             sel = [l for l in links if l[0] == src_rnd]
@@ -322,7 +363,8 @@ def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
                 inv=inv))
         plans.append(RoundPlan(
             node_ids=list(node_ids), B=B, P=P, N=N, M=M,
-            a_pos=a_pos, a_src=a_src, p_arr=p_arr,
+            a_col=a_col, a_csrc=a_csrc, a_pos=a_pos, a_src=a_src,
+            p_arr=p_arr,
             cells_own=cells_own, cells_bor=cells_bor, child_groups=groups))
     return plans
 
@@ -332,23 +374,55 @@ def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("N", "P"))
-def _assemble(nzval_ext, a_pos, a_src, p_arr, N: int, P: int):
-    """Per-front scatter of the CSR values (vmapped over the batch, so the
-    front axis shards cleanly over a device mesh) plus the identity padding
-    on unused pivot-diagonal positions."""
+@functools.partial(jax.jit, static_argnames=("N", "P", "spill", "impl"))
+def _assemble(nzval_ext, a_col, a_csrc, a_pos, a_src, p_arr,
+              N: int, P: int, spill: bool = True, impl: str = "scatter"):
+    """Gather-form (ELLPACK) front assembly plus a tiny spill scatter.
 
-    E = a_pos.shape[1]
+    The bulk is F[b, r, c] = sum_w vals[b, r, w] * (col[b, r, w] == c),
+    with a backend-dispatched formulation (the assembly was 31% of the
+    gx3 steady factor as a unique-index scatter, the single hottest
+    kernel; measured end-to-end on v5e, 2026-08-18):
+      * "onehot" (TPU default): compare/select/reduce as plain XLA ops.
+        Its isolated cost analysis looks bad (the (B, N, W, N) broadcast
+        counts ~100 GB of fusion traffic) but in the full factor program
+        it pipelines with neighboring kernels and wins outright: gx3
+        steady factor 1.17 s vs 1.83 s (scatter) / 1.71 s (a Pallas
+        VMEM-tile variant, kept in pallas_kernels.py and selectable via
+        NK_ASM_IMPL). Plain ops, so GSPMD shards it over the batch axis.
+      * "scatter" (CPU default): ELL scatter-add — XLA:CPU scatters are
+        a cheap host loop while the onehot compute is 3-4 orders slower
+        there; also what the simulated-mesh gx1 run lives on.
+      * "pallas": the VMEM-tile kernel, for experiments.
+    Rows wider than the ELL width spill to the unique-index scatter
+    (build_plan bounds spills to the 2% tail). Identity padding lands on
+    unused pivot-diagonal positions as before."""
+    vals = nzval_ext[a_csrc]                        # (B, R, W)
+    B, R, W = a_col.shape
+    if impl == "pallas":
+        from .pallas_kernels import pallas_ell_assemble
+        F = pallas_ell_assemble(a_col, vals).astype(nzval_ext.dtype)
+    elif impl == "scatter":
+        bi = jnp.arange(B, dtype=jnp.int32)[:, None, None]
+        ri = jnp.arange(R, dtype=jnp.int32)[None, :, None]
+        F = jnp.zeros((B, R, N), nzval_ext.dtype).at[
+            bi, ri, a_col].add(vals, mode="promise_in_bounds")
+    else:
+        ar_n = jnp.arange(N, dtype=a_col.dtype)
+        F = jnp.sum(jnp.where(a_col[:, :, :, None] == ar_n,
+                              vals[:, :, :, None],
+                              jnp.zeros((), nzval_ext.dtype)), axis=2)
+    if spill:
+        E = a_pos.shape[1]
 
-    def one(pos, src):
-        vals = nzval_ext[src]
-        # all positions unique and within N*N+E (padding points at the
-        # truncated overflow tail) — see build_plan's a_pos construction
-        buf = jnp.zeros((N * N + E,), nzval_ext.dtype).at[pos].add(
-            vals, mode="promise_in_bounds", unique_indices=True)
-        return buf[:N * N]
+        def one(Fb, pos, src):
+            buf = jnp.concatenate([Fb.reshape(-1),
+                                   jnp.zeros((E,), nzval_ext.dtype)])
+            buf = buf.at[pos].add(nzval_ext[src], mode="promise_in_bounds",
+                                  unique_indices=True)
+            return buf[:N * N].reshape(N, N)
 
-    F = jax.vmap(one)(a_pos, a_src).reshape(-1, N, N)
+        F = jax.vmap(one)(F, a_pos, a_src)
     ar = jnp.arange(P)
     eye = (ar[None, :] >= p_arr[:, None]).astype(F.dtype)
     return F.at[:, ar, ar].add(eye)
@@ -1014,8 +1088,16 @@ class JaxMultifrontal:
         big = ((jax.default_backend() == "tpu"
                 or os.environ.get("NK_FORCE_OWN_RB") == "1")
                and self.mesh is None)
+        from .pallas_kernels import ell_fits_vmem
         c = []
         for p in self.plans:
+            asm_impl = _os.environ.get(
+                "NK_ASM_IMPL",
+                "onehot" if jax.default_backend() == "tpu" else "scatter")
+            if (asm_impl == "pallas"
+                    and not (self._use_pallas
+                             and ell_fits_vmem(p.N, p.a_col.shape[2]))):
+                asm_impl = "scatter"
             own_rb = None
             if big and p.B * p.P >= max(n // 8, 1):
                 of = np.asarray(p.cells_own).reshape(-1)
@@ -1025,7 +1107,12 @@ class JaxMultifrontal:
                                   + np.nonzero(valid)[0].astype(np.int32))
                 own_rb = jnp.asarray(idx)
             c.append(dict(
+                a_col=self._put(p.a_col, p.B),
+                a_csrc=self._put(p.a_csrc, p.B),
                 a_pos=self._put(p.a_pos, p.B), a_src=self._put(p.a_src, p.B),
+                # static: any real spill entries? (sentinels are >= N*N)
+                spill=bool((p.a_pos < p.N * p.N).any()),
+                asm_impl=asm_impl,
                 p_arr=self._put(p.p_arr, p.B),
                 own=self._put(p.cells_own, p.B),
                 bor=self._put(p.cells_bor, p.B),
@@ -1125,8 +1212,10 @@ class JaxMultifrontal:
                     schur[rnd] = S
                     continue
                 done.discard(rnd)   # checkpoint vanished mid-run: recompute
-            F = _assemble(nzval_ext, cc["a_pos"], cc["a_src"],
-                          cc["p_arr"], N=plan.N, P=plan.P)
+            F = _assemble(nzval_ext, cc["a_col"], cc["a_csrc"],
+                          cc["a_pos"], cc["a_src"], cc["p_arr"],
+                          N=plan.N, P=plan.P, spill=cc["spill"],
+                          impl=cc["asm_impl"])
             for gi, g in enumerate(plan.child_groups):
                 src_rnd = g.src_round      # static (plan), never traced
                 _, ss, ds, inv = cc["groups"][gi]
@@ -1249,10 +1338,12 @@ class JaxMultifrontal:
         for rnd, plan in enumerate(self.plans):
             cc = self._consts[rnd]
             B, P, N, E = plan.B, plan.P, plan.N, plan.a_pos.shape[1]
+            W = plan.a_col.shape[2]
             jobs.setdefault(
-                ("asm", B, E, N, P),
-                (_assemble, (nzval_ext, cc["a_pos"], cc["a_src"],
-                             cc["p_arr"]), dict(N=N, P=P)))
+                ("asm", B, E, W, N, P, cc["spill"], cc["asm_impl"]),
+                (_assemble, (nzval_ext, cc["a_col"], cc["a_csrc"],
+                             cc["a_pos"], cc["a_src"], cc["p_arr"]),
+                 dict(N=N, P=P, spill=cc["spill"], impl=cc["asm_impl"])))
             for gi, g in enumerate(plan.child_groups):
                 sp = self.plans[g.src_round]
                 L = len(g.src_slots)

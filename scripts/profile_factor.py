@@ -57,16 +57,18 @@ def main():
         for rnd, plan in enumerate(eng.plans):
             cc = eng._consts[rnd]
             F = bench(f"assemble N={plan.N}", mf_jax._assemble, nzval_ext,
-                      cc["a_pos"], cc["a_src"], cc["p_arr"],
-                      N=plan.N, P=plan.P)
+                      cc["a_col"], cc["a_csrc"], cc["a_pos"], cc["a_src"],
+                      cc["p_arr"], N=plan.N, P=plan.P, spill=cc["spill"],
+                      impl=cc["asm_impl"])
             for gi, g in enumerate(plan.child_groups):
                 _, ss, ds, inv = cc["groups"][gi]
                 F = bench(f"extend N={plan.N}", mf_jax._extend_add,
                           F, schur[g.src_round], ss, ds, inv)
-            FP, L21, S, perm = bench(
+            K, U12, L21, S, perm = bench(
                 f"factor B={plan.B} P={plan.P} N={plan.N}",
                 mf_jax._partial_factor, F, P=plan.P, p_arr=cc["p_arr"],
-                use_pallas=eng._use_pallas, allow_native_lu=True)
+                tau=eng._tau, use_pallas=eng._use_pallas,
+                allow_native_lu=True, pack_bs=eng._pack_bs)
             schur[rnd] = S
         total = sum(stats.values())
         print(f"# factor instrumented total {total:.3f}s "
