@@ -89,3 +89,52 @@ def test_own_rb_gather_rebuild_matches_scatter(problem, monkeypatch):
     assert any(cc["own_rb"] is not None for cc in fac2.engine._consts)
     X_rb = fac2.solve(B, refine=False)
     np.testing.assert_array_equal(np.asarray(X_scatter), np.asarray(X_rb))
+
+
+def test_ell_spill_assembly_path(problem, monkeypatch):
+    """Force the hybrid assembly's SPILL branch (rows wider than the ELL
+    width fall back to the unique-index scatter): cap the 98th-percentile
+    width estimate at 4 so realistic isop rows (~15 entries) overflow,
+    and check the factorization still reproduces the exact solve."""
+    matrix, maps = problem
+    from nk_ocn_tracer_jacobian_precond_tpu.solver import mf_jax
+    real_quantile = np.quantile
+    monkeypatch.setattr(
+        mf_jax.np, "quantile",
+        lambda a, q, **kw: min(real_quantile(a, q, **kw), 4.0))
+    mf = MultifrontalFactorization(matrix, impl="jax", maps=maps)
+    # spills must actually exist for this test to mean anything
+    assert any((p.a_pos < p.N * p.N).any() for p in mf.engine.plans)
+    assert any(p.a_col.shape[2] == 4 for p in mf.engine.plans)
+    rng = np.random.default_rng(7)
+    B = rng.standard_normal((matrix.flat_len, 2))
+    X = mf.solve(B)
+    A = matrix.to_scipy()
+    res = np.linalg.norm(A @ X - B, axis=0) / np.linalg.norm(B, axis=0)
+    assert res.max() < 1e-11, res
+
+
+def test_assembly_impls_agree(problem):
+    """The three _assemble formulations (scatter / onehot / pallas-or-
+    fallback) must produce identical fronts for the same plan."""
+    import jax
+    import jax.numpy as jnp
+    matrix, maps = problem
+    from nk_ocn_tracer_jacobian_precond_tpu.solver import mf_jax
+    from nk_ocn_tracer_jacobian_precond_tpu.solver.symbolic import (
+        symbolic_from_matrix)
+    sym = symbolic_from_matrix(maps, matrix, leaf_size=16)
+    plans = mf_jax.build_plan(sym, matrix)
+    p = max(plans, key=lambda q: q.B)       # biggest leaf chunk
+    nz = np.zeros(matrix.nnz + 1)
+    nz[:-1] = matrix.nzval
+    nzd = jnp.asarray(nz)
+    args = (nzd, jnp.asarray(p.a_col), jnp.asarray(p.a_csrc),
+            jnp.asarray(p.a_pos), jnp.asarray(p.a_src),
+            jnp.asarray(p.p_arr))
+    spill = bool((p.a_pos < p.N * p.N).any())
+    F_sc = mf_jax._assemble(*args, N=p.N, P=p.P, spill=spill,
+                            impl="scatter")
+    F_oh = mf_jax._assemble(*args, N=p.N, P=p.P, spill=spill,
+                            impl="onehot")
+    np.testing.assert_array_equal(np.asarray(F_sc), np.asarray(F_oh))
