@@ -136,17 +136,23 @@ class FactorRoundCheckpointer:
             np.save(stmp, np.asarray(S))
             os.replace(stmp, self._spath(rnd))
 
-    def load_round(self, rnd: int, plan, eng, need_schur: bool):
+    def load_round(self, rnd: int, plan, eng, need_schur: bool,
+                   factors: bool = True):
         """Returns (K, U12, L21, KD, perm, S-or-None) device-placed with
-        the engine's shardings, or None if no valid checkpoint."""
-        with np.load(self._path(rnd), allow_pickle=False) as z:
-            FP = z["FP"]
-            K = eng._put(FP[:, :, :plan.P].astype(eng.prec), plan.B)
-            U12 = eng._put(np.ascontiguousarray(
-                FP[:, :, plan.P:]).astype(eng.prec), plan.B)
-            L21 = eng._put(z["L21"].astype(eng.prec), plan.B)
-            perm = eng._put(z["perm"], plan.B)
-        K, U12, L21, KD = eng._shard_factors(plan, K, U12, L21)
+        the engine's shardings, or None if no valid checkpoint. With
+        ``factors=False`` (the engine's factor-offload mode) only the
+        Schur stack is materialized; the factor slots come back None and
+        stream in later via a second load_round pass."""
+        K = U12 = L21 = KD = perm = None
+        if factors:
+            with np.load(self._path(rnd), allow_pickle=False) as z:
+                FP = z["FP"]
+                K = eng._put(FP[:, :, :plan.P].astype(eng.prec), plan.B)
+                U12 = eng._put(np.ascontiguousarray(
+                    FP[:, :, plan.P:]).astype(eng.prec), plan.B)
+                L21 = eng._put(z["L21"].astype(eng.prec), plan.B)
+                perm = eng._put(z["perm"], plan.B)
+            K, U12, L21, KD = eng._shard_factors(plan, K, U12, L21)
         S = None
         if need_schur:
             spath = self._spath(rnd)

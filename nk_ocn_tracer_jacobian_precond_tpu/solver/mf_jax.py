@@ -932,6 +932,18 @@ class JaxMultifrontal:
         # pin PANEL so the masked substitution's KD stack and the
         # sharded-round checkpoint layout stay uniform
         self._pack_bs = PANEL if mesh is not None else max(PANEL, SOLVE_BS)
+        # factor offload (out-of-core numeric phase): with a round
+        # checkpointer attached, each completed round's factor arrays are
+        # DROPPED from memory right after they persist — later factor
+        # rounds consume only Schur stacks, never factors — and streamed
+        # back once the transients are gone. Cuts the factor-phase peak
+        # from factors-so-far + live Schur + front stacks to
+        # live Schur + front stacks (the 2026-08-18 gx1 simulated-mesh
+        # run OOM-killed this host at 127 GB without it: all 8 virtual
+        # devices' shards share one address space).
+        self._offload = (checkpoint_dir is not None
+                         and _os.environ.get("NK_FACTOR_OFFLOAD",
+                                             "1") != "0")
         ndev_plan = (mesh.shape[self.mesh_axis] if mesh is not None else 1)
         with timed("build round plans"):
             self.plans = build_plan(sym, matrix, batch_multiple=ndev_plan)
@@ -1200,7 +1212,8 @@ class JaxMultifrontal:
             if rnd in done:
                 need_s = (plan.M > 0
                           and any(c not in done for c in consumers[rnd]))
-                loaded = ckpt.load_round(rnd, plan, self, need_schur=need_s)
+                loaded = ckpt.load_round(rnd, plan, self, need_schur=need_s,
+                                         factors=not self._offload)
                 if loaded is not None:
                     K, U12, L21, KD, perm, S = loaded
                     for g in plan.child_groups:
@@ -1231,11 +1244,18 @@ class JaxMultifrontal:
                 allow_native_lu=self.mesh is None,
                 pack_bs=self._pack_bs)
             K, U12, L21, KD = self._shard_factors(plan, K, U12, L21)
-            factors.append((K, U12, L21, perm, KD))
             schur[rnd] = self._shard_schur(plan, S)
             if ckpt is not None:
                 ckpt.save_round(rnd, plan, K, U12, L21, perm,
                                 S if uses[rnd] > 0 else None)
+            if self._offload:
+                # out-of-core: the persisted factors stream back after
+                # the last round (save_round's host fetch already forced
+                # the computation); only Schur stacks stay live
+                factors.append((None, None, None, None, None))
+                K = U12 = L21 = KD = perm = None
+            else:
+                factors.append((K, U12, L21, perm, KD))
             if self._sync_rounds and not self._fuse_factor:
                 # simulated (CPU) meshes only: with all virtual devices
                 # time-sharing one host pool, letting many chunk programs
@@ -1252,6 +1272,18 @@ class JaxMultifrontal:
                        f"B={plan.B} P={plan.P} N={plan.N} "
                        f"({now - self._round_t0:.1f}s)")
                 self._round_t0 = now
+        if self._offload and ckpt is not None:
+            # stream the persisted factors back now that the factor
+            # phase's transients and Schur stacks are gone: resident
+            # memory goes straight to its solve-time steady state
+            dbg(1, "factor offload: streaming factors back from "
+                   f"{ckpt.dir}")
+            for rnd, plan in enumerate(self.plans):
+                if factors[rnd][0] is not None:
+                    continue
+                K, U12, L21, KD, perm, _ = ckpt.load_round(
+                    rnd, plan, self, need_schur=False)
+                factors[rnd] = (K, U12, L21, perm, KD)
         return tuple(factors)
 
     def _factor_dispatch(self, matrix: SparseMatrix) -> None:
