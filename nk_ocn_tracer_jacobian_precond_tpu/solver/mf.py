@@ -149,7 +149,13 @@ class MultifrontalFactorization:
                 self._fac_matrix, self.dr, self.dc = equilibrate(matrix)
             else:
                 self._fac_matrix = matrix
-            self._refiner = None
+            # same sparsity pattern => rebind the refiner's device
+            # operands in place; dropping it re-traced the fused
+            # refinement program every Newton iteration (refine.rebind)
+            ref = getattr(self, "_refiner", None)
+            if ref is not None:
+                ref.rebind(self.matrix, dr=self.dr, dc=self.dc,
+                           precond_host=self._precond_solve)
         with timed("numeric refactorization"):
             self.engine._factorize(self._fac_matrix)
 

@@ -117,7 +117,6 @@ class DeviceRefiner:
             raise RuntimeError("DeviceRefiner needs jax_enable_x64 "
                                "(float64 residual accumulation)")
         self.engine = engine
-        self.A = matrix.to_scipy()
         self.precond_host = precond_host
         self.tol = tol
         # adaptive inner depth: each f32 cycle's contraction is limited by
@@ -129,12 +128,23 @@ class DeviceRefiner:
         self.m = m
         self._m = min(m_start, m)
         self.max_cycles = max_cycles
-        n = matrix.flat_len
-        self.n = n
-        put = engine._put
+        self.n = matrix.flat_len
+        self._rowptr = np.asarray(matrix.rowptr)
+        self._bind_matrix(matrix, dr, dc)
+        self._cycle_jit = {}
+        self._fused_jit = {}
+
+    def _bind_matrix(self, matrix, dr=None, dc=None) -> None:
+        """Stage the matrix-value-dependent device arrays (ELL SpMV
+        operands, equilibration scalings). All of them enter the compiled
+        programs as ARGUMENTS (_env), so refreshing them never invalidates
+        a compiled cycle/fused program."""
+        n = self.n
+        put = self.engine._put
+        self.A = matrix.to_scipy()
         # ELL (padded row-major) storage: the SpMV becomes gather +
         # multiply + row reduction — no scatter, which XLA:TPU serializes
-        rowptr = np.asarray(matrix.rowptr)
+        rowptr = self._rowptr
         rowlen = np.diff(rowptr)
         E = int(rowlen.max())
         nnz = len(matrix.colind)
@@ -160,8 +170,22 @@ class DeviceRefiner:
                                   dtype=np.float64), None)
         self._dc = put(np.asarray(dc if dc is not None else one,
                                   dtype=np.float64), None)
-        self._cycle_jit = {}
-        self._fused_jit = {}
+
+    def rebind(self, matrix, dr=None, dc=None, precond_host=None) -> None:
+        """New matrix VALUES on the identical sparsity pattern — the
+        Newton-iteration reuse path. Refreshes the device operands and
+        keeps every compiled (and traced) program: rebuilding the refiner
+        instead re-traced the fused restart-chain program each outer
+        iteration (~10-20 s of host tracing at gx3 even with the XLA
+        disk cache hot — measured via bench.py --nk-loop, 2026-08-18)."""
+        if (matrix.flat_len != self.n
+                or not np.array_equal(np.asarray(matrix.rowptr),
+                                      self._rowptr)):
+            raise ValueError("rebind requires the identical sparsity "
+                             "pattern (new pattern => new DeviceRefiner)")
+        if precond_host is not None:
+            self.precond_host = precond_host
+        self._bind_matrix(matrix, dr, dc)
 
     # -- building blocks (traced inside the cycle program) -----------------
 

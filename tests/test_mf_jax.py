@@ -138,3 +138,28 @@ def test_assembly_impls_agree(problem):
     F_oh = mf_jax._assemble(*args, N=p.N, P=p.P, spill=spill,
                             impl="onehot")
     np.testing.assert_array_equal(np.asarray(F_sc), np.asarray(F_oh))
+
+
+def test_refactor_keeps_refiner_programs(problem):
+    """Newton-iteration reuse: refactor() with new values on the same
+    pattern must keep the DeviceRefiner instance (its compiled fused
+    programs) and still converge — rebuilding it re-traced the fused
+    refinement program every outer iteration."""
+    from nk_ocn_tracer_jacobian_precond_tpu.io.matrixfile import SparseMatrix
+    matrix, maps = problem
+    fac = MultifrontalFactorization(matrix, impl="jax", maps=maps)
+    rng = np.random.default_rng(11)
+    B = rng.standard_normal((matrix.flat_len, 2))
+    fac.solve(B)
+    ref = getattr(fac, "_refiner", None)
+    nz = np.asarray(matrix.nzval) * (
+        1.0 + 1e-3 * rng.standard_normal(matrix.nnz))
+    m2 = SparseMatrix(nzval=nz, colind=matrix.colind, rowptr=matrix.rowptr,
+                      coupled_tracer_cnt=matrix.coupled_tracer_cnt)
+    fac.refactor(m2)
+    X = fac.solve(B)
+    if ref is not None:
+        assert fac._refiner is ref
+    A2 = m2.to_scipy()
+    res = np.linalg.norm(A2 @ X - B, axis=0) / np.linalg.norm(B, axis=0)
+    assert res.max() < 1e-10, res
