@@ -179,3 +179,22 @@ def test_memplan_matches_mesh_shard_sizes(problem):
             shp = arr.sharding.shard_shape(arr.shape)
             actual_dev += int(np.prod(shp)) * isz
     assert actual_dev == mp.factor_bytes_per_device
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_rhs_axis_data_parallel_solve(problem):
+    """A 2-axis ("front", "rhs") mesh: RHS batches shard data-parallel
+    across device groups (the TPU-native get_B_dist) while fronts shard
+    within a group — results must match the single-device engine."""
+    matrix, maps = problem
+    mf_1 = MultifrontalFactorization(matrix, impl="jax", maps=maps)
+    mf_r = MultifrontalFactorization(matrix, impl="jax", maps=maps,
+                                     sym=mf_1.sym, n_devices=8,
+                                     rhs_devices=2)
+    assert "rhs" in mf_r.engine.mesh.axis_names
+    assert mf_r.engine.mesh.shape["rhs"] == 2
+    rng = np.random.default_rng(21)
+    B = rng.standard_normal((matrix.flat_len, 4))   # 4 rhs / 2 groups
+    X1 = mf_1.solve(B)
+    Xr = mf_r.solve(B)
+    np.testing.assert_allclose(Xr, X1, rtol=1e-9, atol=1e-11)
