@@ -78,7 +78,8 @@ class FactorRoundCheckpointer:
     SuperLU_DIST has no equivalent at all, its factorization is all-or-
     nothing within one pdgstrf call).
 
-    Each completed round's (FP, L21, perm) lands in
+    Each completed round's factors (stored on disk as the
+    concatenated [K | U12] block + L21 + perm) land in
     ``round_NNNN.npz`` (atomic rename), its Schur stack — needed only
     until the parent round consumes it — in ``round_NNNN_S.npy``,
     deleted as soon as every consumer is done, so on-disk Schur usage
@@ -178,7 +179,8 @@ def save_factors(path: str, fac) -> None:
     loop can restart and go straight to triangular solves.
 
     ``fac`` is a MultifrontalFactorization with the JAX engine; the file
-    holds every round's (FP, L21, perm) stack plus the equilibration
+    holds every round's factor stack (concatenated [K | U12], L21,
+    perm) plus the equilibration
     scalings. The symbolic plan is NOT stored — it is rebuilt from the
     matrix pattern (deterministic, seconds) or loaded via save_symbolic.
     """
