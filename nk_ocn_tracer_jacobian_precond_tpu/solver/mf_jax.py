@@ -54,10 +54,13 @@ PANEL = 128
 # GEMM steps per round instead of P/PANEL. Larger blocks cut the warm
 # solve's dispatch-critical-path ~linearly; apply error grows with the
 # bs-block conditioning and is absorbed by GMRES-IR (measured: see
-# BENCH_NOTES). Mesh engines pin 128 (the masked substitution's KD
-# stack and checkpoint compatibility).
+# BENCH_NOTES). Default is ADAPTIVE (see JaxMultifrontal.__init__):
+# element growth scales with tree depth, so shallow trees afford wider
+# (faster) blocks than the 60-level production class. NK_SOLVE_BS
+# overrides. Mesh engines pin 128 (the masked substitution's KD stack
+# and checkpoint compatibility).
 import os as _os
-SOLVE_BS = int(_os.environ.get("NK_SOLVE_BS", "512"))
+SOLVE_BS = int(_os.environ.get("NK_SOLVE_BS", "0"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -930,7 +933,8 @@ class JaxMultifrontal:
                              and jax.default_backend() == "cpu")
         # solve-side packed-inverse block size (SOLVE_BS): mesh engines
         # pin PANEL so the masked substitution's KD stack and the
-        # sharded-round checkpoint layout stay uniform
+        # sharded-round checkpoint layout stay uniform; single-device
+        # engines pick it adaptively AFTER the plans exist (below)
         self._pack_bs = PANEL if mesh is not None else max(PANEL, SOLVE_BS)
         # factor offload (out-of-core numeric phase): with a round
         # checkpointer attached, each completed round's factor arrays are
@@ -947,6 +951,18 @@ class JaxMultifrontal:
         ndev_plan = (mesh.shape[self.mesh_axis] if mesh is not None else 1)
         with timed("build round plans"):
             self.plans = build_plan(sym, matrix, batch_multiple=ndev_plan)
+        if mesh is None and SOLVE_BS == 0:
+            # adaptive solve block size: the apply's sequential critical
+            # path is sum(ceil(P/bs)) block steps, its error ~ eps32 x
+            # kappa(bs-block) — and the block conditioning that matters
+            # tracks element growth, which scales with elimination-tree
+            # depth (~max front size). Shallow trees (gx3-class, max
+            # front < 4k) afford 1024-wide blocks (measured round 1:
+            # even FULL explicit inverses refined fine there); the
+            # 60-level production class keeps 512 (BENCH_NOTES round-2
+            # A/B). NK_SOLVE_BS overrides.
+            maxP = max((p.P for p in self.plans), default=PANEL)
+            self._pack_bs = 1024 if maxP <= 4096 else 512
         from .memplan import plan_memory
         ndev = (self.mesh.shape[self.mesh_axis]
                 if self.mesh is not None else 1)
