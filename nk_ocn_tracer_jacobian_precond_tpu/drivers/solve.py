@@ -39,7 +39,8 @@ def parse_var_groups(vars_arg: str, coupled_tracer_cnt: int) -> list[list[str]]:
 def run_solve(matrix_fname: str, inout_fname: str, vars_arg: str,
               backend: str = "auto", dbg_lvl: int = 0,
               check_residual: bool = True, n_devices: int | None = None,
-              rhs_chunk: int = 32, rhs_devices: int = 1) -> dict:
+              rhs_chunk: int = 32, rhs_devices: int = 1,
+              factors_fname: str | None = None) -> dict:
     set_dbg_lvl(dbg_lvl)
     with timed("get_sparse_matrix"):
         matrix = read_matrix_file(matrix_fname)
@@ -58,6 +59,8 @@ def run_solve(matrix_fname: str, inout_fname: str, vars_arg: str,
             kwargs["n_devices"] = n_devices
         if rhs_devices > 1:
             kwargs["rhs_devices"] = rhs_devices
+        if factors_fname is not None:
+            kwargs["numeric_checkpoint"] = factors_fname
     with timed("factor"):
         fac = factor(matrix, backend=backend, **kwargs)
 
@@ -167,6 +170,13 @@ def main(argv=None) -> int:
     p.add_argument("--rhs-devices", type=int, default=1,
                    help="devices of the mesh to dedicate to an rhs "
                         "(data-parallel multi-RHS) axis")
+    p.add_argument("--factors", dest="factors_fname", default=None,
+                   help="numeric-factor checkpoint file: loaded (skipping "
+                        "factorization) when it exists and matches this "
+                        "matrix's values, else written after factoring — "
+                        "the cross-run analog of the reference's "
+                        "options.Fact=FACTORED reuse (multifrontal "
+                        "backend only)")
     p.add_argument("matrix_fname")
     p.add_argument("inout_fname", nargs="?", default=None)
     args = p.parse_args(argv)
@@ -195,7 +205,8 @@ def main(argv=None) -> int:
         run_solve(args.matrix_fname, args.inout_fname, args.vars,
                   backend=args.backend, dbg_lvl=args.dbg_lvl,
                   n_devices=n_devices, rhs_chunk=args.rhs_chunk,
-                  rhs_devices=args.rhs_devices)
+                  rhs_devices=args.rhs_devices,
+                  factors_fname=args.factors_fname)
     except Exception as e:  # noqa: BLE001 - CLI boundary
         print(f"solve: {e}", file=sys.stderr)
         return 1

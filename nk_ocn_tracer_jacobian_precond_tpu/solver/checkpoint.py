@@ -173,6 +173,13 @@ class FactorRoundCheckpointer:
             pass
 
 
+def _nzhash(matrix) -> str:
+    import hashlib
+    h = hashlib.sha1(np.ascontiguousarray(matrix.nzval).tobytes())
+    h.update(np.ascontiguousarray(matrix.rowptr, dtype=np.int64).tobytes())
+    return h.hexdigest()
+
+
 def save_factors(path: str, fac) -> None:
     """Persist NUMERIC factors (a genuine improvement over the reference,
     which re-factors on every solver run, SURVEY.md §5): a Newton outer
@@ -187,7 +194,11 @@ def save_factors(path: str, fac) -> None:
     eng = fac.engine
     arrays = {"n_rounds": np.array([len(eng.factors)]),
               "flat_len": np.array([eng.flat_len]),
-              "pack_bs": np.array([getattr(eng, "_pack_bs", 128)])}
+              "pack_bs": np.array([getattr(eng, "_pack_bs", 128)]),
+              # matrix-value hash: factors are only valid for the exact
+              # values they were computed from — a Newton iteration's new
+              # values must never silently resume from stale factors
+              "nzhash": np.array([_nzhash(fac.matrix)])}
     if fac.dr is not None:
         arrays["dr"] = fac.dr
         arrays["dc"] = fac.dc
@@ -213,6 +224,9 @@ def load_factors(path: str, fac) -> None:
                          f"{len(eng.plans)} — pattern mismatch")
     if int(z["flat_len"][0]) != eng.flat_len:
         raise ValueError("checkpoint flat_len mismatch")
+    if "nzhash" in z.files and str(z["nzhash"][0]) != _nzhash(fac.matrix):
+        raise ValueError("checkpoint was computed from different matrix "
+                         "VALUES (stale Newton iteration?) — refactor")
     ck_bs = int(z["pack_bs"][0]) if "pack_bs" in z.files else 128
     if ck_bs != getattr(eng, "_pack_bs", 128):
         raise ValueError(f"checkpoint pack_bs {ck_bs} != engine "

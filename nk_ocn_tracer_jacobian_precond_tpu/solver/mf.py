@@ -94,7 +94,8 @@ class MultifrontalFactorization:
                  n_devices: int | None = None, equilibrate_matrix: bool = True,
                  mesh=None, precision=None,
                  factor_checkpoint_dir: str | None = None,
-                 rhs_devices: int = 1):
+                 rhs_devices: int = 1,
+                 numeric_checkpoint: str | None = None):
         self.matrix = matrix
         self.A = matrix.to_scipy()
         self.refine_tol = refine_tol
@@ -129,10 +130,35 @@ class MultifrontalFactorization:
                 from .mf_numpy import NumpyMultifrontal
                 self.engine = NumpyMultifrontal(sym, fac_matrix)
             elif impl == "jax":
+                import os
                 from .mf_jax import JaxMultifrontal
+                # persisted numeric factors (the cross-RUN analog of the
+                # reference's within-run options.Fact = FACTORED reuse,
+                # solve_ABdist.c:539): a loadable checkpoint skips the
+                # numeric phase outright; the file's matrix-value hash
+                # guards against stale Newton-iteration factors
+                loadable = (numeric_checkpoint is not None
+                            and os.path.exists(numeric_checkpoint))
                 self.engine = JaxMultifrontal(
                     sym, fac_matrix, mesh=self.mesh, precision=precision,
-                    checkpoint_dir=factor_checkpoint_dir)
+                    checkpoint_dir=factor_checkpoint_dir,
+                    factorize=not loadable)
+                loaded = False
+                if loadable:
+                    from .checkpoint import load_factors
+                    try:
+                        load_factors(numeric_checkpoint, self)
+                        loaded = True
+                        dbg(1, f"numeric factors loaded from "
+                               f"{numeric_checkpoint}")
+                    except Exception as e:  # stale/mismatched: refactor
+                        dbg(1, f"factor checkpoint rejected "
+                               f"({type(e).__name__}: {e}); refactoring")
+                        self.engine._factorize(fac_matrix)
+                if numeric_checkpoint is not None and not loaded:
+                    from .checkpoint import save_factors
+                    save_factors(numeric_checkpoint, self)
+                    dbg(1, f"numeric factors saved to {numeric_checkpoint}")
             else:
                 raise ValueError(f"unknown multifrontal impl: {impl}")
 

@@ -898,7 +898,7 @@ class JaxMultifrontal:
 
     def __init__(self, sym: SymbolicFactorization, matrix: SparseMatrix,
                  precision=None, mesh=None, mesh_axis: str | None = None,
-                 checkpoint_dir: str | None = None):
+                 checkpoint_dir: str | None = None, factorize: bool = True):
         self.sym = sym
         self.mesh = mesh
         self._ckpt_dir = checkpoint_dir
@@ -983,7 +983,13 @@ class JaxMultifrontal:
         # bound peak memory exactly (the gx3deep single-chip constraint).
         self._fuse_factor = False
         self._factor_jit = None
-        self._factorize(matrix)
+        if factorize:
+            self._factorize(matrix)
+        else:
+            # deferred numeric phase: the caller loads persisted factors
+            # (checkpoint.load_factors) or refactor()s explicitly
+            self.factors = None
+            self._ckpt = None
 
     def _put(self, arr, batch: int | None):
         """Device placement honoring the mesh: shard dim 0 over the mesh
@@ -1446,6 +1452,9 @@ class JaxMultifrontal:
         return W
 
     def solve(self, b: np.ndarray) -> np.ndarray:
+        if self.factors is None:
+            raise RuntimeError("no numeric factors: load a factor "
+                               "checkpoint or call refactor() first")
         B = np.asarray(b, dtype=np.float64)
         single = B.ndim == 1
         if single:

@@ -154,3 +154,47 @@ def test_round_checkpoint_resume(tmp_path):
     rel = np.linalg.norm(m2.to_scipy() @ x3 - b) / np.linalg.norm(b)
     assert rel < 1e-9
     shutil.rmtree(ck)
+
+
+def test_numeric_checkpoint_facade(tmp_path):
+    """The numeric_checkpoint facade/CLI path (solve --factors): first
+    run factors and writes the file, a restart loads it (skipping the
+    numeric phase), and stale matrix VALUES are rejected by the hash."""
+    circ = str(tmp_path / "circ.nc")
+    make_circ_file(circ, imt=14, jmt=12, km=4, seed=52)
+    mat = str(tmp_path / "m.nc")
+    pt = PerTracerOptions(sink_type="const", sink_rate=1e-4)
+    opts = AssemblyOptions(circ_fname=circ, hmix_type="const",
+                           vmix_type="file", per_tracer=[pt])
+    run_gen_a(mat, opts=opts)
+    matrix = read_matrix_file(mat)
+    maps = load_ind_maps(mat)
+    sym = symbolic_from_matrix(maps, matrix, leaf_size=8)
+    ckpt = str(tmp_path / "factors.npz")
+
+    fac1 = MultifrontalFactorization(matrix, impl="jax", maps=maps, sym=sym,
+                                     numeric_checkpoint=ckpt)
+    import os
+    assert os.path.exists(ckpt)
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal(matrix.flat_len)
+    x1 = fac1.solve(b, refine=False)
+
+    # restart: the loaded factors solve bit-identically and the engine
+    # never ran its numeric phase (its round checkpointer is unset and
+    # factors came from the file)
+    fac2 = MultifrontalFactorization(matrix, impl="jax", maps=maps, sym=sym,
+                                     numeric_checkpoint=ckpt)
+    x2 = fac2.solve(b, refine=False)
+    np.testing.assert_allclose(x1, x2, rtol=0, atol=0)
+
+    # same pattern, different values: the hash rejects the stale file and
+    # the facade refactors (solve still reaches the contract)
+    m2 = type(matrix)(nzval=np.asarray(matrix.nzval) * 1.5,
+                      colind=matrix.colind, rowptr=matrix.rowptr,
+                      coupled_tracer_cnt=matrix.coupled_tracer_cnt)
+    fac3 = MultifrontalFactorization(m2, impl="jax", maps=maps, sym=sym,
+                                     numeric_checkpoint=ckpt)
+    x3 = fac3.solve(b)
+    rel = np.linalg.norm(m2.to_scipy() @ x3 - b) / np.linalg.norm(b)
+    assert rel < 1e-10
