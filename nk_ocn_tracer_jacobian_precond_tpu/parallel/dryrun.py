@@ -77,8 +77,12 @@ def run(n_devices: int) -> None:
     # random IRF — the widest stencil); here the bar is SuperLU's own
     # achieved residual on the same system, as in the reference.
     asm2, maps2, matrix2 = build(adv_type="upwind3", hmix_type="isop_file")
+    # refine_tol matches this case's actual (SuperLU-relative, ~1e-9
+    # class) contract: with the default 1e-13 target the refiner warns
+    # about a stall it was never required to pass — noise in the driver
+    # artifact (the explicit bar assert below is the real check)
     fac2 = MultifrontalFactorization(matrix2, impl="jax", maps=maps2,
-                                     n_devices=n_devices)
+                                     n_devices=n_devices, refine_tol=1e-9)
     B2 = rng.standard_normal((matrix2.flat_len, 3))
     X2 = fac2.solve(B2)
     A2 = matrix2.to_scipy()
