@@ -450,8 +450,9 @@ class DeviceRefiner:
             # 3x max_cycles bounds pathological cases
             for outer in range(3 * self.max_cycles):
                 # OUTER residual on host: exact float64, no emulated-f64
-                # attainable-accuracy floor
-                R = Bp - self.A @ X
+                # attainable-accuracy floor (X == 0 => R is exactly Bp;
+                # neither branch mutates R or Bp downstream)
+                R = Bp - self.A @ X if X.any() else Bp
                 rel = float((np.linalg.norm(R[:, :nrhs], axis=0)
                              / bnorm).max())
                 dbg(1, f"refine outer {outer} ({phase}): max rel residual "
@@ -556,8 +557,14 @@ class DeviceRefiner:
                             m_cur, padn, K=self.max_cycles, dtype=jdt)
                     if Bd is None:
                         Bd = put(Bp, None)
+                    # X == 0 on the first fused outer: materialize the
+                    # zeros on DEVICE — uploading them costs a full
+                    # (n, nrhs) host->device transfer, ~0.2 s of a 1.5 s
+                    # warm gx3 solve on the 25 MB/s tunnel
+                    Xd = (jnp.zeros_like(Bd) if not X.any()
+                          else put(X, None))
                     Xd, rel_est, k = self._fused_jit[key](
-                        Bd, put(X, None), self._env(jdt), self.tol)
+                        Bd, Xd, self._env(jdt), self.tol)
                     X = np.asarray(Xd, dtype=np.float64)
                     fused_stalled = (int(k) < self.max_cycles
                                      and float(rel_est) > self.tol)
