@@ -12,15 +12,21 @@ src/solve_ABglobal.c:351-360).
 from __future__ import annotations
 
 import contextlib
+import os
 import sys
 import time
 
-_dbg_lvl = 0
+# NK_DBG seeds the level for entry points that don't take a -D flag
+# (bench.py, library use); set_dbg_lvl (the -D flag) overrides it.
+_dbg_lvl = int(os.environ.get("NK_DBG", "0") or 0)
 
 
 def set_dbg_lvl(lvl: int) -> None:
+    """Set the verbosity (the -D flag). NK_DBG acts as a floor so a
+    library entry point that resets to its default 0 (run_gen_a inside
+    bench.py, say) doesn't silence an env-requested trace."""
     global _dbg_lvl
-    _dbg_lvl = int(lvl)
+    _dbg_lvl = max(int(lvl), int(os.environ.get("NK_DBG", "0") or 0))
 
 
 def get_dbg_lvl() -> int:
