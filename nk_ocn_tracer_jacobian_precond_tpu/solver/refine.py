@@ -437,6 +437,7 @@ class DeviceRefiner:
         stall = 0
         fused_stalled = False
         Bd = None    # device f64 copy of the padded RHS, staged once
+        Xd = None    # device-resident iterate matching X (fused outers)
         # best-iterate guard: corrections computed against device-side
         # residuals can DEGRADE an iterate whose true residual already
         # sits below the device-residual floor (~2^-48 x |A||x|/|b| for
@@ -532,6 +533,7 @@ class DeviceRefiner:
                 if phase == "ir":
                     X = X + self.precond_host(R)
                     applied_ir = True
+                    Xd = None
                 elif phase == "polish":
                     # single restart cycle fed the host-exact residual:
                     # pushes below the fused loop's device-residual floor
@@ -544,6 +546,7 @@ class DeviceRefiner:
                         put(R.astype(np.float32), None),
                         self._env(jnp.float32))
                     X = X + np.asarray(d, dtype=np.float64)
+                    Xd = None
                 else:
                     # one FUSED dispatch: up to max_cycles restart cycles
                     # with device-side f64 outer residuals between them
@@ -560,9 +563,13 @@ class DeviceRefiner:
                     # X == 0 on the first fused outer: materialize the
                     # zeros on DEVICE — uploading them costs a full
                     # (n, nrhs) host->device transfer, ~0.2 s of a 1.5 s
-                    # warm gx3 solve on the 25 MB/s tunnel
-                    Xd = (jnp.zeros_like(Bd) if not X.any()
-                          else put(X, None))
+                    # warm gx3 solve on the 25 MB/s tunnel. On later
+                    # fused outers (stall -> deepen -> redispatch) the
+                    # previous dispatch's device-resident iterate is
+                    # still exactly X — reuse it instead of re-uploading.
+                    if Xd is None:
+                        Xd = (jnp.zeros_like(Bd) if not X.any()
+                              else put(X, None))
                     Xd, rel_est, k = self._fused_jit[key](
                         Bd, Xd, self._env(jdt), self.tol)
                     X = np.asarray(Xd, dtype=np.float64)
