@@ -898,7 +898,8 @@ class JaxMultifrontal:
 
     def __init__(self, sym: SymbolicFactorization, matrix: SparseMatrix,
                  precision=None, mesh=None, mesh_axis: str | None = None,
-                 checkpoint_dir: str | None = None, factorize: bool = True):
+                 checkpoint_dir: str | None = None, factorize: bool = True,
+                 factor_only: bool = False):
         self.sym = sym
         self.mesh = mesh
         self._ckpt_dir = checkpoint_dir
@@ -970,6 +971,22 @@ class JaxMultifrontal:
             self.plans, ndev,
             np.dtype(self.prec).itemsize).summary())
         self.flat_len = sym.flat_len
+        # factor-only mode (NK_FACTOR_ONLY=1): produce/extend the per-round
+        # factor CHECKPOINTS and stop — never stream the full factor set
+        # back into device memory and never solve. This is the
+        # small-HBM-accelerator configuration: a 16 GB chip can factor a
+        # problem whose complete factors (tens of GB) only ever exist on
+        # the host disk; the solve runs elsewhere (e.g. the multi-device
+        # mesh) by resuming from the same checkpoint directory. Rounds
+        # already checkpointed need no plan constants at all (they are
+        # neither assembled nor extend-added), so their device uploads are
+        # skipped outright.
+        self._factor_only = (factor_only
+                             or _os.environ.get("NK_FACTOR_ONLY") == "1")
+        self._skip_consts: set[int] = set()
+        if self._factor_only and self._ckpt_dir is not None:
+            ck = self._ckpt_for(matrix)
+            self._skip_consts = self._scan_done(ck)
         with timed("device constants"):
             self._consts = self._device_constants()
         self._solve_jit = {}
@@ -1124,7 +1141,13 @@ class JaxMultifrontal:
                and self.mesh is None)
         from .pallas_kernels import ell_fits_vmem
         c = []
-        for p in self.plans:
+        for rnd, p in enumerate(self.plans):
+            if rnd in self._skip_consts:
+                # factor-only resume: this round's factors come straight
+                # off disk — it is never assembled, extend-added, or
+                # solved through, so none of its plan arrays are needed
+                c.append(None)
+                continue
             asm_impl = _os.environ.get(
                 "NK_ASM_IMPL",
                 "onehot" if jax.default_backend() == "tpu" else "scatter")
@@ -1174,6 +1197,54 @@ class JaxMultifrontal:
     def _unflatten_consts(self, flat):
         return [dict(own=t[0], bor=t[1], own_rb=t[2]) for t in flat]
 
+    def _ckpt_for(self, matrix: SparseMatrix, nz: np.ndarray | None = None):
+        """Round checkpointer keyed to this matrix's VALUES (in factor
+        precision) + plan shape + factor-layout version + pack_bs — the
+        key under which two engines (e.g. a single-chip factor-only pass
+        and a multi-device solve pass) agree they are resuming the same
+        factorization."""
+        if self._ckpt_dir is None:
+            return None
+        if nz is None:
+            nz = np.zeros(len(matrix.nzval) + 1, dtype=self.prec)
+            nz[:-1] = matrix.nzval
+        import hashlib
+        from .checkpoint import FactorRoundCheckpointer
+        h = hashlib.sha1(nz.tobytes())
+        h.update(np.int64([self.flat_len, len(self.plans)]).tobytes())
+        # factor LAYOUT version: bump when the stored-factor semantics
+        # change (v2 = _pack_diag_inv block-substitution layout) so a
+        # resume can never mix checkpoints across layouts; a
+        # non-default pack_bs changes the packed-K layout and keys in
+        # (128 stays bare "v2" so long mesh runs span this change)
+        h.update(b"factor-layout-v2")
+        if self._pack_bs != PANEL:
+            h.update(f"pack_bs={self._pack_bs}".encode())
+        return FactorRoundCheckpointer(self._ckpt_dir, h.hexdigest())
+
+    def _scan_done(self, ckpt) -> set[int]:
+        """Resumable rounds: shape- and value-valid checkpoints, minus (to
+        a fixpoint) any round whose Schur stack a not-yet-checkpointed
+        consumer needs but whose S file is gone — dropping a round can
+        orphan its own sources' Schur needs in turn."""
+        done = ckpt.scan(self.plans)
+        if not done:
+            return done
+        consumers: list[list[int]] = [[] for _ in self.plans]
+        for rnd, plan in enumerate(self.plans):
+            for g in plan.child_groups:
+                consumers[g.src_round].append(rnd)
+        changed = True
+        while changed:
+            changed = False
+            for rnd in list(done):
+                need = any(c not in done for c in consumers[rnd])
+                if need and self.plans[rnd].M > 0 \
+                        and not ckpt.has_schur(rnd):
+                    done.discard(rnd)
+                    changed = True
+        return done
+
     def _factorize(self, matrix: SparseMatrix) -> None:
         # drop any previous factors FIRST: holding the old set while the
         # new one builds doubles peak memory — exactly the refactor-path
@@ -1215,22 +1286,8 @@ class JaxMultifrontal:
         ckpt = self._ckpt if not self._fuse_factor else None
         done: set[int] = set()
         if ckpt is not None:
-            done = ckpt.scan(self.plans)
-            # a checkpointed round whose Schur stack a NOT-checkpointed
-            # consumer needs must have its S file on disk; otherwise it
-            # must be recomputed (fixpoint: dropping a round may orphan
-            # its own sources' Schur needs in turn)
-            changed = True
-            while changed:
-                changed = False
-                for rnd in list(done):
-                    need = any(c not in done for c in consumers[rnd])
-                    if need and self.plans[rnd].M > 0 \
-                            and not ckpt.has_schur(rnd):
-                        done.discard(rnd)
-                        changed = True
+            done = self._scan_done(ckpt)
         for rnd, plan in enumerate(self.plans):
-            cc = consts[rnd]
             if rnd in done:
                 need_s = (plan.M > 0
                           and any(c not in done for c in consumers[rnd]))
@@ -1247,6 +1304,13 @@ class JaxMultifrontal:
                     schur[rnd] = S
                     continue
                 done.discard(rnd)   # checkpoint vanished mid-run: recompute
+            cc = consts[rnd]
+            if cc is None:
+                raise RuntimeError(
+                    f"round {rnd}: factor checkpoint vanished after the "
+                    f"factor-only resume scan (concurrent writer on "
+                    f"{self._ckpt_dir}?) — its plan constants were skipped "
+                    f"and it cannot be recomputed in this process")
             F = _assemble(nzval_ext, cc["a_col"], cc["a_csrc"],
                           cc["a_pos"], cc["a_src"], cc["p_arr"],
                           N=plan.N, P=plan.P, spill=cc["spill"],
@@ -1294,7 +1358,7 @@ class JaxMultifrontal:
                        f"B={plan.B} P={plan.P} N={plan.N} "
                        f"({now - self._round_t0:.1f}s)")
                 self._round_t0 = now
-        if self._offload and ckpt is not None:
+        if self._offload and ckpt is not None and not self._factor_only:
             # stream the persisted factors back now that the factor
             # phase's transients and Schur stacks are gone: resident
             # memory goes straight to its solve-time steady state
@@ -1321,22 +1385,7 @@ class JaxMultifrontal:
         eps = float(np.finfo(self.prec).eps)
         amax = float(np.max(np.abs(nz))) if len(matrix.nzval) else 1.0
         self._tau = float(np.float32(np.sqrt(eps) * amax))
-        self._ckpt = None
-        if self._ckpt_dir is not None:
-            import hashlib
-            from .checkpoint import FactorRoundCheckpointer
-            h = hashlib.sha1(nz.tobytes())
-            h.update(np.int64([self.flat_len, len(self.plans)]).tobytes())
-            # factor LAYOUT version: bump when the stored-factor semantics
-            # change (v2 = _pack_diag_inv block-substitution layout) so a
-            # resume can never mix checkpoints across layouts; a
-            # non-default pack_bs changes the packed-K layout and keys in
-            # (128 stays bare "v2" so long mesh runs span this change)
-            h.update(b"factor-layout-v2")
-            if self._pack_bs != PANEL:
-                h.update(f"pack_bs={self._pack_bs}".encode())
-            self._ckpt = FactorRoundCheckpointer(self._ckpt_dir,
-                                                 h.hexdigest())
+        self._ckpt = self._ckpt_for(matrix, nz)
         nzval_ext = self._put(nz, None)
         if (jax.default_backend() == "tpu" and self.mesh is None
                 and jax.config.jax_compilation_cache_dir is not None
@@ -1363,10 +1412,22 @@ class JaxMultifrontal:
             # until a device-to-host read — without this probe the factor
             # phase would be mis-attributed to the first solve. One fused
             # program + one tiny D2H forces the whole factor graph.
-            probe = jax.jit(lambda fs: jnp.stack(
-                [a.ravel()[0].astype(jnp.float32)
-                 for f in fs for a in f if a is not None and a.size]).sum())
-            float(probe(self.factors))
+            # (factor-only + offload leaves every slot None — each round
+            # was already forced by its checkpoint's host fetch)
+            if any(a is not None and a.size
+                   for f in self.factors for a in f):
+                probe = jax.jit(lambda fs: jnp.stack(
+                    [a.ravel()[0].astype(jnp.float32)
+                     for f in fs for a in f if a is not None and a.size]
+                    ).sum())
+                float(probe(self.factors))
+        if self._factor_only:
+            # the complete factor set lives on disk (checkpoint dir), not
+            # in device memory; this engine cannot solve — resume from the
+            # same checkpoint directory with a normal engine to solve
+            dbg(1, "factor-only: factors persisted to "
+                   f"{self._ckpt_dir}; engine holds none")
+            self.factors = None
 
     def _precompile(self, nzval_ext, tau) -> None:
         """AOT-compile every distinct factor-kernel shape CONCURRENTLY.
@@ -1391,6 +1452,8 @@ class JaxMultifrontal:
         jobs: dict[tuple, tuple] = {}
         for rnd, plan in enumerate(self.plans):
             cc = self._consts[rnd]
+            if cc is None:     # factor-only resume: round loads from disk
+                continue
             B, P, N, E = plan.B, plan.P, plan.N, plan.a_pos.shape[1]
             W = plan.a_col.shape[2]
             jobs.setdefault(

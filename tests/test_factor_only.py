@@ -1,0 +1,168 @@
+"""Factor-only mode + out-of-core factor offload round trips.
+
+The production split these test: a small-HBM accelerator runs the numeric
+factorization with NK_FACTOR_ONLY=1 + per-round checkpointing (factors
+only ever exist on the host disk), and a separate engine — possibly on a
+different backend or a multi-device mesh — resumes from the same
+checkpoint directory to solve. This is the rebuild's replacement for
+SuperLU's in-memory ``Fact=FACTORED`` state (reference
+src/solve_ABdist.c:539) surviving process death AND device-memory limits.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from nk_ocn_tracer_jacobian_precond_tpu.drivers.gen_a import run_gen_a
+from nk_ocn_tracer_jacobian_precond_tpu.grid.indmap import load_ind_maps
+from nk_ocn_tracer_jacobian_precond_tpu.io.matrixfile import read_matrix_file
+from nk_ocn_tracer_jacobian_precond_tpu.ops import (
+    AssemblyOptions,
+    PerTracerOptions,
+)
+from nk_ocn_tracer_jacobian_precond_tpu.solver.mf import (
+    MultifrontalFactorization,
+)
+from nk_ocn_tracer_jacobian_precond_tpu.solver.symbolic import (
+    symbolic_from_matrix,
+)
+from nk_ocn_tracer_jacobian_precond_tpu.testdata import make_circ_file
+
+
+@pytest.fixture(scope="module")
+def problem(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fonly")
+    circ = str(d / "circ.nc")
+    make_circ_file(circ, imt=14, jmt=12, km=4, seed=53)
+    mat = str(d / "m.nc")
+    pt = PerTracerOptions(sink_type="const", sink_rate=1e-4)
+    opts = AssemblyOptions(circ_fname=circ, hmix_type="const",
+                           vmix_type="file", per_tracer=[pt])
+    run_gen_a(mat, opts=opts)
+    matrix = read_matrix_file(mat)
+    maps = load_ind_maps(mat)
+    sym = symbolic_from_matrix(maps, matrix, leaf_size=8)
+    return matrix, maps, sym
+
+
+def test_factor_only_then_solve_elsewhere(problem, tmp_path, monkeypatch):
+    """A factor-only engine writes complete round checkpoints and holds no
+    factors; a fresh normal engine resumes every round from disk (zero
+    recompute) and solves to the workflow contract."""
+    matrix, maps, sym = problem
+    ck = str(tmp_path / "fckpt")
+    monkeypatch.setenv("NK_FACTOR_ONLY", "1")
+    monkeypatch.setenv("NK_FACTOR_OFFLOAD", "1")
+    fac_a = MultifrontalFactorization(matrix, impl="jax", maps=maps, sym=sym,
+                                      factor_checkpoint_dir=ck)
+    eng_a = fac_a.engine
+    assert eng_a._factor_only and eng_a._offload
+    assert eng_a.factors is None
+    with pytest.raises(RuntimeError, match="no numeric factors"):
+        eng_a.solve(np.zeros(matrix.flat_len))
+    n_rounds = len(eng_a.plans)
+    files = sorted(f for f in os.listdir(ck)
+                   if f.endswith(".npz") and "_S" not in f)
+    assert len(files) == n_rounds
+
+    monkeypatch.delenv("NK_FACTOR_ONLY")
+    fac_b = MultifrontalFactorization(matrix, impl="jax", maps=maps, sym=sym,
+                                      factor_checkpoint_dir=ck)
+    eng_b = fac_b.engine
+    # every round resumed from the factor-only pass's checkpoints
+    assert eng_b._scan_done(eng_b._ckpt) == set(range(n_rounds))
+    rng = np.random.default_rng(4)
+    B = rng.standard_normal((matrix.flat_len, 2))
+    X = fac_b.solve(B)
+    rel = np.linalg.norm(matrix.to_scipy() @ X - B, axis=0) \
+        / np.linalg.norm(B, axis=0)
+    assert rel.max() <= 1e-10
+
+
+def test_factor_only_continuation_skips_done_rounds(problem, tmp_path,
+                                                    monkeypatch):
+    """A factor-only RESUME of an INTERRUPTED run (checkpoints + live
+    Schur stacks for the completed prefix, nothing for the tail) uploads
+    no plan constants for the checkpointed rounds and recomputes only the
+    tail — the cross-device continuation pattern (leaf rounds on one
+    backend, tree-top rounds on another)."""
+    from nk_ocn_tracer_jacobian_precond_tpu.solver.checkpoint import (
+        FactorRoundCheckpointer)
+
+    matrix, maps, sym = problem
+    ck = str(tmp_path / "fckpt")
+    monkeypatch.setenv("NK_FACTOR_ONLY", "1")
+
+    # interrupt the factorization mid-run: the checkpointer raises after
+    # persisting n_keep rounds, leaving exactly the on-disk state a
+    # session-budget kill leaves (round files 0..n_keep-1 plus the S
+    # files of every round whose consumer never ran)
+    class _Stop(RuntimeError):
+        pass
+
+    n_keep = None
+    orig_save = FactorRoundCheckpointer.save_round
+
+    def capped_save(self, rnd, plan, K, U12, L21, perm, S=None):
+        orig_save(self, rnd, plan, K, U12, L21, perm, S)
+        if rnd + 1 >= n_keep:
+            raise _Stop
+
+    # first, learn the round count from an untouched run in another dir
+    fac_probe = MultifrontalFactorization(
+        matrix, impl="jax", maps=maps, sym=sym,
+        factor_checkpoint_dir=str(tmp_path / "probe"))
+    n_rounds = len(fac_probe.engine.plans)
+    assert n_rounds >= 3
+    n_keep = n_rounds - 2
+
+    monkeypatch.setattr(FactorRoundCheckpointer, "save_round", capped_save)
+    with pytest.raises(_Stop):
+        MultifrontalFactorization(matrix, impl="jax", maps=maps, sym=sym,
+                                  factor_checkpoint_dir=ck)
+    monkeypatch.setattr(FactorRoundCheckpointer, "save_round", orig_save)
+
+    fac_c = MultifrontalFactorization(matrix, impl="jax", maps=maps, sym=sym,
+                                      factor_checkpoint_dir=ck)
+    eng_c = fac_c.engine
+    skipped = eng_c._skip_consts
+    assert skipped == set(range(n_keep))
+    for rnd in skipped:
+        assert eng_c._consts[rnd] is None
+    files = sorted(f for f in os.listdir(ck)
+                   if f.endswith(".npz") and "_S" not in f)
+    assert len(files) == n_rounds   # the tail was recomputed and saved
+
+    monkeypatch.delenv("NK_FACTOR_ONLY")
+    fac_b = MultifrontalFactorization(matrix, impl="jax", maps=maps, sym=sym,
+                                      factor_checkpoint_dir=ck)
+    rng = np.random.default_rng(5)
+    b = rng.standard_normal(matrix.flat_len)
+    x = fac_b.solve(b)
+    rel = np.linalg.norm(matrix.to_scipy() @ x - b) / np.linalg.norm(b)
+    assert rel <= 1e-10
+
+
+def test_offload_roundtrip_matches_resident(problem, tmp_path, monkeypatch):
+    """NK_FACTOR_OFFLOAD drops factors from device memory during the
+    factor phase and streams them back for the solve; the streamed-back
+    solve must be bit-identical to the factors-resident one."""
+    matrix, maps, sym = problem
+    rng = np.random.default_rng(6)
+    b = rng.standard_normal(matrix.flat_len)
+
+    monkeypatch.setenv("NK_FACTOR_OFFLOAD", "0")
+    fac_res = MultifrontalFactorization(
+        matrix, impl="jax", maps=maps, sym=sym,
+        factor_checkpoint_dir=str(tmp_path / "ck_res"))
+    assert not fac_res.engine._offload
+    x_res = fac_res.solve(b, refine=False)
+
+    monkeypatch.setenv("NK_FACTOR_OFFLOAD", "1")
+    fac_off = MultifrontalFactorization(
+        matrix, impl="jax", maps=maps, sym=sym,
+        factor_checkpoint_dir=str(tmp_path / "ck_off"))
+    assert fac_off.engine._offload
+    x_off = fac_off.solve(b, refine=False)
+    np.testing.assert_allclose(x_off, x_res, rtol=0, atol=0)
