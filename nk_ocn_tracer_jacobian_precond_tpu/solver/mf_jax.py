@@ -834,6 +834,19 @@ _partial_factor = jax.jit(_partial_factor_body,
                                            "allow_native_lu", "pack_bs"))
 
 
+@jax.jit
+def _tiny_probe(x):
+    return x.ravel()[0].astype(jnp.float32)
+
+
+def _force_tiny(x) -> None:
+    """Force a device computation with a 4-byte D2H read: the remote-
+    tunneled TPU backend treats block_until_ready as a no-op, so this is
+    the cheapest real sync point (one trivial compiled program per shape
+    bucket)."""
+    float(_tiny_probe(x))
+
+
 def _set_own(W, vals, cells_own, own_rb):
     """Write vals (B, P, nrhs) to W rows cells_own. With an own_rb index
     map (big leaf rounds), the scatter-set becomes a full-length gather
@@ -1285,8 +1298,21 @@ class JaxMultifrontal:
                 consumers[g.src_round].append(rnd)
         ckpt = self._ckpt if not self._fuse_factor else None
         done: set[int] = set()
+        repair: set[int] = set()
         if ckpt is not None:
             done = self._scan_done(ckpt)
+            # Schur repair: rounds whose factor checkpoint is valid but
+            # whose Schur stack (needed by a not-yet-computed consumer)
+            # is gone — recompute them to regenerate the Schur flow, but
+            # keep their on-disk factors (skip save_round: re-streaming
+            # tens of GB of already-banked factors through the host link
+            # is the wrong trade; the recomputed factors match to fp32
+            # rounding and the refinement contract absorbs that)
+            repair = ckpt.scan(self.plans) - done
+            if repair:
+                dbg(1, f"factor checkpoint: {len(repair)} rounds have "
+                       f"valid factors but missing Schur stacks — "
+                       f"recomputing them for their Schur only")
         for rnd, plan in enumerate(self.plans):
             if rnd in done:
                 need_s = (plan.M > 0
@@ -1315,15 +1341,21 @@ class JaxMultifrontal:
                           cc["a_pos"], cc["a_src"], cc["p_arr"],
                           N=plan.N, P=plan.P, spill=cc["spill"],
                           impl=cc["asm_impl"])
+            drops: list[int] = []
             for gi, g in enumerate(plan.child_groups):
                 src_rnd = g.src_round      # static (plan), never traced
                 _, ss, ds, inv = cc["groups"][gi]
                 F = _extend_add(F, schur[src_rnd], ss, ds, inv)
                 uses[src_rnd] -= 1
                 if uses[src_rnd] == 0:
-                    schur[src_rnd] = None
-                    if ckpt is not None:
-                        ckpt.drop_schur(src_rnd)
+                    schur[src_rnd] = None   # free device memory eagerly...
+                    drops.append(src_rnd)   # ...but delete FILES only after
+                    # this round's own checkpoint is durable (below): a
+                    # death between consume and save must leave a
+                    # resumable on-disk prefix (the gx1 round-144
+                    # incident: sources' S files were deleted during the
+                    # extend-add, the process died before save_round, and
+                    # the resume fixpoint cascaded 124 rounds back)
             K, U12, L21, S, perm = _partial_factor(
                 F, P=plan.P, p_arr=cc["p_arr"], tau=self._tau,
                 use_pallas=self._use_pallas,
@@ -1331,9 +1363,16 @@ class JaxMultifrontal:
                 pack_bs=self._pack_bs)
             K, U12, L21, KD = self._shard_factors(plan, K, U12, L21)
             schur[rnd] = self._shard_schur(plan, S)
-            if ckpt is not None:
+            if ckpt is not None and rnd in repair:
+                # factors already on disk; force this round's execution
+                # (and a sync point bounding in-flight device memory)
+                # through a tiny D2H probe instead of a full save
+                _force_tiny(S if schur[rnd] is not None and S.size else K)
+            elif ckpt is not None:
                 ckpt.save_round(rnd, plan, K, U12, L21, perm,
                                 S if uses[rnd] > 0 else None)
+                for src in drops:
+                    ckpt.drop_schur(src)
             if self._offload:
                 # out-of-core: the persisted factors stream back after
                 # the last round (save_round's host fetch already forced
@@ -1358,6 +1397,14 @@ class JaxMultifrontal:
                        f"B={plan.B} P={plan.P} N={plan.N} "
                        f"({now - self._round_t0:.1f}s)")
                 self._round_t0 = now
+        if ckpt is not None:
+            # every round is now checkpointed (saved this run, pre-existing,
+            # or repaired-in-place): no future resume needs a Schur stack,
+            # so clear any remaining S files (repair rounds deliberately
+            # leave their sources' files in place during the run)
+            for rnd, plan in enumerate(self.plans):
+                if plan.M > 0:
+                    ckpt.drop_schur(rnd)
         if self._offload and ckpt is not None and not self._factor_only:
             # stream the persisted factors back now that the factor
             # phase's transients and Schur stacks are gone: resident

@@ -144,6 +144,118 @@ def test_factor_only_continuation_skips_done_rounds(problem, tmp_path,
     assert rel <= 1e-10
 
 
+def test_death_before_save_leaves_resumable_prefix(problem, tmp_path,
+                                                   monkeypatch):
+    """Regression (gx1 round-144 incident): a process death AFTER a
+    round's extend-add consumed its sources' Schur stacks but BEFORE its
+    own checkpoint was saved must leave a fully resumable prefix on disk
+    — the sources' S files are deleted only once the consumer's
+    checkpoint is durable."""
+    from nk_ocn_tracer_jacobian_precond_tpu.solver.checkpoint import (
+        FactorRoundCheckpointer)
+
+    matrix, maps, sym = problem
+    ck = str(tmp_path / "fckpt")
+
+    class _Died(RuntimeError):
+        pass
+
+    orig_save = FactorRoundCheckpointer.save_round
+    n_keep = {}
+
+    def dying_save(self, rnd, plan, K, U12, L21, perm, S=None):
+        if rnd >= n_keep["n"]:
+            raise _Died    # dies BEFORE persisting this round
+        orig_save(self, rnd, plan, K, U12, L21, perm, S)
+
+    fac_probe = MultifrontalFactorization(
+        matrix, impl="jax", maps=maps, sym=sym,
+        factor_checkpoint_dir=str(tmp_path / "probe"))
+    n_rounds = len(fac_probe.engine.plans)
+    # die at the LAST round: its extend-adds consume the deepest Schur
+    # chain, the worst case for drop-before-save
+    n_keep["n"] = n_rounds - 1
+
+    monkeypatch.setattr(FactorRoundCheckpointer, "save_round", dying_save)
+    with pytest.raises(_Died):
+        MultifrontalFactorization(matrix, impl="jax", maps=maps, sym=sym,
+                                  factor_checkpoint_dir=ck)
+    monkeypatch.setattr(FactorRoundCheckpointer, "save_round", orig_save)
+
+    fac = MultifrontalFactorization(matrix, impl="jax", maps=maps, sym=sym,
+                                    factor_checkpoint_dir=ck)
+    # the full prefix resumed — nothing was cascaded back by missing Schur
+    assert fac.engine._scan_done(fac.engine._ckpt) \
+        == set(range(n_rounds))
+    rng = np.random.default_rng(7)
+    b = rng.standard_normal(matrix.flat_len)
+    x = fac.solve(b)
+    rel = np.linalg.norm(matrix.to_scipy() @ x - b) / np.linalg.norm(b)
+    assert rel <= 1e-10
+
+
+def test_schur_repair_keeps_banked_factors(problem, tmp_path, monkeypatch):
+    """Repair mode: a round with a valid factor checkpoint whose Schur
+    stack (needed downstream) was lost is recomputed for its Schur only —
+    its on-disk factor file is left untouched — and the factorization
+    completes; stale S files are swept once every round is checkpointed."""
+    from nk_ocn_tracer_jacobian_precond_tpu.solver.checkpoint import (
+        FactorRoundCheckpointer)
+
+    matrix, maps, sym = problem
+    ck = str(tmp_path / "fckpt")
+
+    class _Stop(RuntimeError):
+        pass
+
+    orig_save = FactorRoundCheckpointer.save_round
+    n_keep = {}
+
+    def capped_save(self, rnd, plan, K, U12, L21, perm, S=None):
+        orig_save(self, rnd, plan, K, U12, L21, perm, S)
+        if rnd + 1 >= n_keep["n"]:
+            raise _Stop    # dies right AFTER persisting round n_keep-1
+
+    fac_probe = MultifrontalFactorization(
+        matrix, impl="jax", maps=maps, sym=sym,
+        factor_checkpoint_dir=str(tmp_path / "probe"))
+    plans = fac_probe.engine.plans
+    n_rounds = len(plans)
+    n_keep["n"] = n_rounds - 1
+
+    monkeypatch.setattr(FactorRoundCheckpointer, "save_round", capped_save)
+    with pytest.raises(_Stop):
+        MultifrontalFactorization(matrix, impl="jax", maps=maps, sym=sym,
+                                  factor_checkpoint_dir=ck)
+    monkeypatch.setattr(FactorRoundCheckpointer, "save_round", orig_save)
+
+    # lose one Schur stack a remaining round still needs (the gx1 state)
+    victims = sorted({g.src_round for p in plans[n_keep["n"]:]
+                      for g in p.child_groups
+                      if os.path.exists(
+                          os.path.join(ck, f"round_{g.src_round:04d}_S.npy"))})
+    assert victims, "test problem too small: no live Schur file to lose"
+    victim = victims[0]
+    os.remove(os.path.join(ck, f"round_{victim:04d}_S.npy"))
+    mtime_before = os.path.getmtime(
+        os.path.join(ck, f"round_{victim:04d}.npz"))
+
+    fac = MultifrontalFactorization(matrix, impl="jax", maps=maps, sym=sym,
+                                    factor_checkpoint_dir=ck)
+    # the victim's factor file was NOT rewritten (repair, not re-save)
+    assert os.path.getmtime(
+        os.path.join(ck, f"round_{victim:04d}.npz")) == mtime_before
+    # every round is checkpointed and the S files were swept
+    files = os.listdir(ck)
+    assert sum(1 for f in files if f.endswith(".npz")) == n_rounds
+    assert not any(f.endswith("_S.npy") for f in files)
+    rng = np.random.default_rng(8)
+    b = rng.standard_normal(matrix.flat_len)
+    x = fac.solve(b)
+    rel = np.linalg.norm(matrix.to_scipy() @ x - b) / np.linalg.norm(b)
+    assert rel <= 1e-10
+
+
 def test_offload_roundtrip_matches_resident(problem, tmp_path, monkeypatch):
     """NK_FACTOR_OFFLOAD drops factors from device memory during the
     factor phase and streams them back for the solve; the streamed-back
