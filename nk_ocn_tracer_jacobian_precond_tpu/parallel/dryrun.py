@@ -77,14 +77,26 @@ def run(n_devices: int) -> None:
     # random IRF — the widest stencil); here the bar is SuperLU's own
     # achieved residual on the same system, as in the reference.
     asm2, maps2, matrix2 = build(adv_type="upwind3", hmix_type="isop_file")
-    # refine_tol matches this case's actual (SuperLU-relative, ~1e-9
-    # class) contract: with the default 1e-13 target the refiner warns
-    # about a stall it was never required to pass — noise in the driver
-    # artifact (the explicit bar assert below is the real check)
+    # refine_tol sits safely BELOW the assert bar's floor (the bar is
+    # max(floor, 10*SuperLU) below): a tolerance at the bar itself could
+    # stop the refiner above a SuperLU-achieved residual under 1e-10 and
+    # fail spuriously. 1e-11 < floor keeps the refiner honest while
+    # avoiding the default 1e-13 target's stall warnings on a system
+    # whose conditioning caps BOTH solvers near 1e-9 (the explicit
+    # SuperLU-relative assert below is the real check).
     fac2 = MultifrontalFactorization(matrix2, impl="jax", maps=maps2,
-                                     n_devices=n_devices, refine_tol=1e-9)
+                                     n_devices=n_devices, refine_tol=1e-11)
     B2 = rng.standard_normal((matrix2.flat_len, 3))
-    X2 = fac2.solve(B2)
+    import warnings as _warnings
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        X2 = fac2.solve(B2)
+    for w in caught:
+        # a refinement stall on this case is conditioning, not a solver
+        # defect — surface it as an explained line, asserted against the
+        # SuperLU-relative bar below, not as a bare warning in the artifact
+        print(f"dryrun secondary (conditioning-limited by design, "
+              f"SuperLU-relative bar applies): {w.message}")
     A2 = matrix2.to_scipy()
     from scipy.sparse.linalg import splu
     X2_ref = splu(A2.tocsc()).solve(B2)

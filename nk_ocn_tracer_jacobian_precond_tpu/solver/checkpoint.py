@@ -177,6 +177,9 @@ def _nzhash(matrix) -> str:
     import hashlib
     h = hashlib.sha1(np.ascontiguousarray(matrix.nzval).tobytes())
     h.update(np.ascontiguousarray(matrix.rowptr, dtype=np.int64).tobytes())
+    # colind too: identical values + row counts with permuted columns is
+    # a different matrix and must not resume silently
+    h.update(np.ascontiguousarray(matrix.colind, dtype=np.int64).tobytes())
     return h.hexdigest()
 
 
@@ -224,7 +227,11 @@ def load_factors(path: str, fac) -> None:
                          f"{len(eng.plans)} — pattern mismatch")
     if int(z["flat_len"][0]) != eng.flat_len:
         raise ValueError("checkpoint flat_len mismatch")
-    if "nzhash" in z.files and str(z["nzhash"][0]) != _nzhash(fac.matrix):
+    if "nzhash" not in z.files:
+        raise ValueError("factor checkpoint has no matrix-value hash "
+                         "(pre-hash format) — cannot prove it matches "
+                         "these matrix values; refactor")
+    if str(z["nzhash"][0]) != _nzhash(fac.matrix):
         raise ValueError("checkpoint was computed from different matrix "
                          "VALUES (stale Newton iteration?) — refactor")
     ck_bs = int(z["pack_bs"][0]) if "pack_bs" in z.files else 128
@@ -251,4 +258,12 @@ def load_factors(path: str, fac) -> None:
     eng.factors = tuple(factors)
     if "dr" in z.files:
         fac.dr, fac.dc = z["dr"], z["dc"]
+    elif fac.dr is not None:
+        # the file's factors were computed from the UNequilibrated matrix
+        # (save_factors stores dr/dc whenever equilibration was on):
+        # adopt that convention rather than wrapping unscaled factors in
+        # this facade's fresh scalings — a silently degraded preconditioner
+        dbg(1, "factor checkpoint was computed without equilibration; "
+               "dropping this facade's row/column scalings to match")
+        fac.dr = fac.dc = None
     fac._refiner = None     # rebind the refiner to the loaded factors

@@ -127,6 +127,13 @@ class MultifrontalFactorization:
         self._fac_matrix = fac_matrix
         with timed(f"numeric factorization ({impl})"):
             if impl == "numpy":
+                if numeric_checkpoint is not None:
+                    import warnings
+                    warnings.warn(
+                        "numeric_checkpoint (--factors) is only supported "
+                        "by the JAX engine; the numpy engine will factor "
+                        "from scratch and NOT save/load the file",
+                        RuntimeWarning, stacklevel=2)
                 from .mf_numpy import NumpyMultifrontal
                 self.engine = NumpyMultifrontal(sym, fac_matrix)
             elif impl == "jax":
