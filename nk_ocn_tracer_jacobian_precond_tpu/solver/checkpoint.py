@@ -163,6 +163,14 @@ class FactorRoundCheckpointer:
                 np.load(spath).astype(eng.prec), plan.B))
         return K, U12, L21, KD, perm, S
 
+    def save_schur(self, rnd: int, S) -> None:
+        """Persist ONLY a round's Schur stack (repair mode: the factor
+        file is already banked; the regenerated Schur keeps the on-disk
+        state resumable at every completed round)."""
+        stmp = self._spath(rnd) + ".tmp.npy"
+        np.save(stmp, np.asarray(S))
+        os.replace(stmp, self._spath(rnd))
+
     def has_schur(self, rnd: int) -> bool:
         return os.path.exists(self._spath(rnd))
 

@@ -571,6 +571,22 @@ def _pack_diag_inv(LU, bs: int = PANEL):
     round, the dominant term of a warm solve dispatch) against apply
     accuracy (error ~ eps32 * kappa(bs-block)); see SOLVE_BS."""
     B, Pdim, _ = LU.shape
+    if _use_loop_form(Pdim, bs):
+        eye = jnp.eye(bs, dtype=LU.dtype)
+
+        def body(i, out):
+            o = i * bs
+            Ti = jax.lax.dynamic_slice(out, (0, o, o), (B, bs, bs))
+            Li = triangular_solve(Ti, jnp.broadcast_to(eye, (B, bs, bs)),
+                                  left_side=True, lower=True,
+                                  unit_diagonal=True)
+            Ui = triangular_solve(Ti, jnp.broadcast_to(eye, (B, bs, bs)),
+                                  left_side=True, lower=False,
+                                  unit_diagonal=False)
+            Ki = jnp.tril(Li, -1) + jnp.triu(Ui)
+            return jax.lax.dynamic_update_slice(out, Ki, (0, o, o))
+
+        return jax.lax.fori_loop(0, Pdim // bs, body, LU)
     out = LU
     for o in range(0, Pdim, bs):
         T = min(bs, Pdim - o)
@@ -592,11 +608,39 @@ def _mm(a, b):
                       precision=jax.lax.Precision.HIGHEST)
 
 
+def _use_loop_form(Pdim: int, bs: int) -> bool:
+    """Unrolled block substitution generates one program region per block
+    step; above ~16 steps XLA stops aliasing the step temporaries and the
+    compiled program's HLO-temp footprint grows linearly in P/bs — at
+    1-degree tree-top shapes (P=12032, bs=128, 94 steps) a single
+    program wanted 19.6 GB of HBM temps for ~2 GB of live state (the
+    round-144 compile OOM). The fori_loop forms below carry ONE buffer
+    and bound temps to a step's working set; their full-width GEMM steps
+    cost 2x the flops, irrelevant against MXU throughput at these sizes.
+    Small step counts keep the unrolled form (solve-latency-critical,
+    and XLA aliases them fine)."""
+    return Pdim % bs == 0 and Pdim // bs > 16
+
+
 def _block_lower_apply(K, rhs, bs: int = PANEL):
     """y = L11^-1 rhs by block forward substitution. K is the
     _pack_diag_inv layout (B, P, >=P) — only its leading (P, P) block is
     read; rhs (B, P, nrhs). All slices are static, every op a GEMM."""
     Pdim = rhs.shape[1]
+    if _use_loop_form(Pdim, bs):
+        B, _, nrhs = rhs.shape
+        KD = _extract_diag_blocks(K[:, :, :Pdim], bs)
+
+        def body(i, y):
+            o = i * bs
+            t = (jax.lax.dynamic_slice(rhs, (0, o, 0), (B, bs, nrhs))
+                 - _mm(jax.lax.dynamic_slice(K, (0, o, 0), (B, bs, Pdim)),
+                       y))
+            kd = jax.lax.dynamic_index_in_dim(KD, i, 1, keepdims=False)
+            t = t + _mm(jnp.tril(kd, -1), t)
+            return jax.lax.dynamic_update_slice(y, t, (0, o, 0))
+
+        return jax.lax.fori_loop(0, Pdim // bs, body, jnp.zeros_like(rhs))
     ys = []
     for o in range(0, Pdim, bs):
         T = min(bs, Pdim - o)
@@ -611,6 +655,22 @@ def _block_lower_apply(K, rhs, bs: int = PANEL):
 def _block_upper_apply(K, rhs, bs: int = PANEL):
     """x = U11^-1 rhs by block backward substitution (layout as above)."""
     Pdim = rhs.shape[1]
+    if _use_loop_form(Pdim, bs):
+        B, _, nrhs = rhs.shape
+        nblk = Pdim // bs
+        KD = _extract_diag_blocks(K[:, :, :Pdim], bs)
+
+        def body(i2, x):
+            i = nblk - 1 - i2
+            o = i * bs
+            t = (jax.lax.dynamic_slice(rhs, (0, o, 0), (B, bs, nrhs))
+                 - _mm(jax.lax.dynamic_slice(K, (0, o, 0), (B, bs, Pdim)),
+                       x))
+            kd = jax.lax.dynamic_index_in_dim(KD, i, 1, keepdims=False)
+            t = _mm(jnp.triu(kd), t)
+            return jax.lax.dynamic_update_slice(x, t, (0, o, 0))
+
+        return jax.lax.fori_loop(0, nblk, body, jnp.zeros_like(rhs))
     xs = []
     for o in reversed(range(0, Pdim, bs)):
         T = min(bs, Pdim - o)
@@ -650,6 +710,20 @@ def _block_lower_apply_masked(K, KD, rhs):
     shard; diagonal blocks come from the replicated KD stack."""
     bs = KD.shape[-1]
     Pdim = rhs.shape[1]
+    if _use_loop_form(Pdim, bs):
+        B, _, nrhs = rhs.shape
+        Kcols = K.shape[2]
+
+        def body(i, y):
+            o = i * bs
+            t = (jax.lax.dynamic_slice(rhs, (0, o, 0), (B, bs, nrhs))
+                 - _mm(jax.lax.dynamic_slice(K, (0, o, 0), (B, bs, Kcols)),
+                       y))
+            kd = jax.lax.dynamic_index_in_dim(KD, i, 1, keepdims=False)
+            t = t + _mm(jnp.tril(kd, -1), t)
+            return jax.lax.dynamic_update_slice(y, t, (0, o, 0))
+
+        return jax.lax.fori_loop(0, Pdim // bs, body, jnp.zeros_like(rhs))
     y = jnp.zeros_like(rhs)
     for i, o in enumerate(range(0, Pdim, bs)):
         t = rhs[:, o:o + bs] - _mm(K[:, o:o + bs, :], y)
@@ -662,6 +736,22 @@ def _block_upper_apply_masked(K, KD, rhs):
     """x = U11^-1 rhs, masked form (layout/sharding as above)."""
     bs = KD.shape[-1]
     Pdim = rhs.shape[1]
+    if _use_loop_form(Pdim, bs):
+        B, _, nrhs = rhs.shape
+        Kcols = K.shape[2]
+        nblk = Pdim // bs
+
+        def body(i2, x):
+            i = nblk - 1 - i2
+            o = i * bs
+            t = (jax.lax.dynamic_slice(rhs, (0, o, 0), (B, bs, nrhs))
+                 - _mm(jax.lax.dynamic_slice(K, (0, o, 0), (B, bs, Kcols)),
+                       x))
+            kd = jax.lax.dynamic_index_in_dim(KD, i, 1, keepdims=False)
+            t = _mm(jnp.triu(kd), t)
+            return jax.lax.dynamic_update_slice(x, t, (0, o, 0))
+
+        return jax.lax.fori_loop(0, nblk, body, jnp.zeros_like(rhs))
     x = jnp.zeros_like(rhs)
     for o in range(Pdim - bs, -1, -bs):
         t = rhs[:, o:o + bs] - _mm(K[:, o:o + bs, :], x)
@@ -674,6 +764,20 @@ def _block_upper_apply_right(K, rhs, bs: int = PANEL):
     """X = rhs @ U11^-1 (right-side solve X U11 = rhs) by block forward
     substitution over column blocks; rhs (B, M, P)."""
     Pdim = rhs.shape[2]
+    if _use_loop_form(Pdim, bs):
+        B, M, _ = rhs.shape
+        KD = _extract_diag_blocks(K[:, :, :Pdim], bs)
+
+        def body(i, x):
+            o = i * bs
+            t = (jax.lax.dynamic_slice(rhs, (0, 0, o), (B, M, bs))
+                 - _mm(x, jax.lax.dynamic_slice(K, (0, 0, o),
+                                                (B, Pdim, bs))))
+            kd = jax.lax.dynamic_index_in_dim(KD, i, 1, keepdims=False)
+            t = _mm(t, jnp.triu(kd))
+            return jax.lax.dynamic_update_slice(x, t, (0, 0, o))
+
+        return jax.lax.fori_loop(0, Pdim // bs, body, jnp.zeros_like(rhs))
     xs = []
     for o in range(0, Pdim, bs):
         T = min(bs, Pdim - o)
@@ -996,6 +1100,16 @@ class JaxMultifrontal:
         # skipped outright.
         self._factor_only = (factor_only
                              or _os.environ.get("NK_FACTOR_ONLY") == "1")
+        # NK_FACTOR_STOP_AFTER=R: process rounds 0..R then stop — the
+        # cross-device handoff point (e.g. memory-bound mid-tree repair on
+        # the big-RAM host, tree-top rounds on the chip). The on-disk
+        # checkpoint state is resumable at every completed round, so the
+        # next engine pointed at the directory continues from R+1.
+        stop = _os.environ.get("NK_FACTOR_STOP_AFTER")
+        self._stop_after = int(stop) if stop else None
+        if self._stop_after is not None and not self._factor_only:
+            raise ValueError("NK_FACTOR_STOP_AFTER requires factor-only "
+                             "mode (a partial factor set cannot solve)")
         self._skip_consts: set[int] = set()
         if self._factor_only and self._ckpt_dir is not None:
             ck = self._ckpt_for(matrix)
@@ -1364,15 +1478,31 @@ class JaxMultifrontal:
             K, U12, L21, KD = self._shard_factors(plan, K, U12, L21)
             schur[rnd] = self._shard_schur(plan, S)
             if ckpt is not None and rnd in repair:
-                # factors already on disk; force this round's execution
-                # (and a sync point bounding in-flight device memory)
-                # through a tiny D2H probe instead of a full save
-                _force_tiny(S if schur[rnd] is not None and S.size else K)
+                # factors already banked on disk; persist only the
+                # regenerated Schur (when a pending consumer needs it) so
+                # the on-disk state stays resumable at every completed
+                # round. The save doubles as the per-round sync point.
+                if uses[rnd] > 0 and plan.M > 0 and S.size:
+                    ckpt.save_schur(rnd, S)
+                else:
+                    _force_tiny(S if S.size else K)
+                for src in drops:
+                    ckpt.drop_schur(src)
             elif ckpt is not None:
                 ckpt.save_round(rnd, plan, K, U12, L21, perm,
                                 S if uses[rnd] > 0 else None)
                 for src in drops:
                     ckpt.drop_schur(src)
+            if ckpt is not None and not self._sync_rounds:
+                # checkpointed single-device runs: the save above already
+                # synchronized, so this timing is real per-round progress
+                import time
+                now = time.perf_counter()
+                dbg(1, f"factor round {rnd + 1}/{len(self.plans)} "
+                       f"B={plan.B} P={plan.P} N={plan.N} "
+                       f"({now - self._round_t0:.1f}s)"
+                       + (" [repair]" if rnd in repair else ""))
+                self._round_t0 = now
             if self._offload:
                 # out-of-core: the persisted factors stream back after
                 # the last round (save_round's host fetch already forced
@@ -1397,6 +1527,10 @@ class JaxMultifrontal:
                        f"B={plan.B} P={plan.P} N={plan.N} "
                        f"({now - self._round_t0:.1f}s)")
                 self._round_t0 = now
+            if self._stop_after is not None and rnd >= self._stop_after:
+                dbg(1, f"factor stop-after: handing off at round {rnd} "
+                       f"({len(self.plans) - 1 - rnd} rounds remain)")
+                return tuple(factors)
         if ckpt is not None:
             # every round is now checkpointed (saved this run, pre-existing,
             # or repaired-in-place): no future resume needs a Schur stack,

@@ -66,20 +66,17 @@ class SymbolicFactorization:
         return tot
 
 
-def analyze(graph: ColumnGraph, tree: DissectionTree) -> SymbolicFactorization:
+def _compute_borders(graph: ColumnGraph,
+                     tree: DissectionTree) -> dict[int, np.ndarray]:
+    """Bottom-up border recurrence over the postorder:
+    border(n) = (U_child border(child) | neighbors(owned(n))) \\ subtree(n).
+    Subtree membership tests use min/max elimination position (postorder
+    gives each subtree a contiguous elim range)."""
     nodes = tree.nodes
     elim = tree.col_elim_pos
-
-    def by_elim(cols: np.ndarray) -> np.ndarray:
-        return cols[np.argsort(elim[cols], kind="stable")]
-
-    # bottom-up border computation over the postorder
     border: dict[int, np.ndarray] = {}
-    subtree_mark = np.full(graph.ncols, -1, dtype=np.int64)
-    # subtree membership via min/max elimination position (postorder gives
-    # each subtree a contiguous elim range)
-    sub_lo = {}
-    sub_hi = {}
+    sub_lo: dict[int, float] = {}
+    sub_hi: dict[int, float] = {}
     for nid in tree.postorder:
         nd = nodes[nid]
         lo = elim[nd.owned].min() if len(nd.owned) else np.inf
@@ -96,6 +93,17 @@ def analyze(graph: ColumnGraph, tree: DissectionTree) -> SymbolicFactorization:
         # only later-eliminated columns remain (earlier ones are impossible
         # with vertex separators, but filter defensively)
         border[nid] = outside[elim[outside] > hi]
+    return border
+
+
+def analyze(graph: ColumnGraph, tree: DissectionTree) -> SymbolicFactorization:
+    nodes = tree.nodes
+    elim = tree.col_elim_pos
+
+    def by_elim(cols: np.ndarray) -> np.ndarray:
+        return cols[np.argsort(elim[cols], kind="stable")]
+
+    border = _compute_borders(graph, tree)
 
     fronts: dict[int, Front] = {}
     for nid in tree.postorder:
@@ -143,9 +151,130 @@ def analyze(graph: ColumnGraph, tree: DissectionTree) -> SymbolicFactorization:
     return sym
 
 
-def symbolic_from_matrix(maps, matrix: SparseMatrix,
-                         leaf_size: int = 32) -> SymbolicFactorization:
+def _front_flops(p: float, n: float) -> float:
+    b = n - p
+    return 2.0 / 3.0 * p ** 3 + 2.0 * p * p * b + 2.0 * p * b * b
+
+
+def amalgamate(graph: ColumnGraph, tree: DissectionTree,
+               relax: float = 0.25, min_cells: int = 32,
+               max_front: int | None = None) -> DissectionTree:
+    """Relaxed supernode amalgamation: merge child fronts into their
+    parents when the flop increase from the induced fill stays within
+    ``relax``, or when the child eliminates at most ``min_cells`` cells
+    (tiny fronts cost dispatch/padding, not math).
+
+    This is the standard multifrontal trick SuperLU/MUMPS apply during
+    supernode detection (reference SuperLU_brief_tree.txt:12-14's panels
+    come from merged supernodes); on the TPU it is the difference between
+    rounds of MXU-starved sub-tile GEMMs and rounds of near-tile-size
+    batched GEMMs. Merging child c into parent p is exact — no symbolic
+    recomputation needed — because border(c) \\ owned(p) is a subset of
+    border(p) (child borders live entirely in ancestor separators), so
+    the merged node's border is border(p) and the merged front size is
+    p_cells(c) + n_cells(p). A ``max_front`` cap (cells) keeps tree-top
+    merges from blowing the per-front memory envelope."""
+    nodes = tree.nodes
+    border = _compute_borders(graph, tree)
+    psz = [int(graph.block_size[nodes[i].owned].sum())
+           for i in range(len(nodes))]
+    bsz = [int(graph.block_size[border[i]].sum()) for i in range(len(nodes))]
+    owned = [[np.asarray(nodes[i].owned)] for i in range(len(nodes))]
+    children = [list(nodes[i].children) for i in range(len(nodes))]
+    alive = [True] * len(nodes)
+    if max_front is None:
+        cur_max = max((psz[i] + bsz[i] for i in range(len(nodes))),
+                      default=0)
+        max_front = max(int(1.25 * cur_max), 4096)
+    merged = 0
+    for nid in tree.postorder:
+        changed = True
+        while changed:
+            changed = False
+            for ch in list(children[nid]):
+                pc, nc = psz[ch], psz[ch] + bsz[ch]
+                pp, np_ = psz[nid], psz[nid] + bsz[nid]
+                pm, nm = pc + pp, pc + np_
+                if nm > max_front:
+                    continue
+                fl_before = _front_flops(pc, nc) + _front_flops(pp, np_)
+                fl_after = _front_flops(pm, nm)
+                if not (pc <= min_cells
+                        or fl_after <= (1.0 + relax) * fl_before):
+                    continue
+                owned[nid].extend(owned[ch])
+                children[nid].remove(ch)
+                children[nid].extend(children[ch])
+                psz[nid] = pm
+                alive[ch] = False
+                merged += 1
+                changed = True
+    if not merged:
+        return tree
+
+    # rebuild the tree over surviving nodes (same shape invariants as
+    # nested_dissection's tail: postorder children-before-parents, rounds,
+    # contiguous per-subtree elimination positions)
+    from .ordering import DissectionNode, DissectionTree as _DT
+    new_id = {}
+    new_nodes: list[DissectionNode] = []
+    for i in range(len(nodes)):
+        if alive[i]:
+            new_id[i] = len(new_nodes)
+            new_nodes.append(DissectionNode(
+                owned=np.concatenate(owned[i])))
+    for i in range(len(nodes)):
+        if not alive[i]:
+            continue
+        me = new_id[i]
+        new_nodes[me].children = [new_id[c] for c in children[i]]
+        for c in children[i]:
+            new_nodes[new_id[c]].parent = me
+
+    post: list[int] = []
+    import sys
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 100000))
+
+    def walk(nid):
+        for ch in new_nodes[nid].children:
+            walk(ch)
+        new_nodes[nid].round = 1 + max(
+            (new_nodes[ch].round for ch in new_nodes[nid].children),
+            default=-1)
+        post.append(nid)
+
+    try:
+        roots = [i for i, n in enumerate(new_nodes) if n.parent == -1]
+        for r in roots:
+            walk(r)
+    finally:
+        sys.setrecursionlimit(old_limit)
+    postorder = np.array(post, dtype=np.int64)
+    col_elim_pos = np.empty(graph.ncols, dtype=np.int64)
+    pos = 0
+    owner_node = np.empty(graph.ncols, dtype=np.int64)
+    for nid in postorder:
+        ow = new_nodes[nid].owned
+        col_elim_pos[ow] = np.arange(pos, pos + len(ow))
+        owner_node[ow] = nid
+        pos += len(ow)
+    assert pos == graph.ncols
+    dbg(1, f"amalgamation: {len(nodes)} -> {len(new_nodes)} fronts "
+           f"({merged} merged, relax={relax}, min_cells={min_cells})")
+    return _DT(nodes=new_nodes, postorder=postorder,
+               col_elim_pos=col_elim_pos, owner_node=owner_node)
+
+
+def symbolic_from_matrix(maps, matrix: SparseMatrix, leaf_size: int = 32,
+                         amalg_relax: float = 0.25,
+                         amalg_min_cells: int = 32) -> SymbolicFactorization:
+    import os
     from .ordering import build_column_graph, nested_dissection
     graph = build_column_graph(maps, matrix)
     tree = nested_dissection(graph, leaf_size=leaf_size)
+    relax = float(os.environ.get("NK_AMALG_RELAX", amalg_relax))
+    min_cells = int(os.environ.get("NK_AMALG_MIN", amalg_min_cells))
+    if relax > 0 or min_cells > 0:
+        tree = amalgamate(graph, tree, relax=relax, min_cells=min_cells)
     return analyze(graph, tree)

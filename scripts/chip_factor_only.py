@@ -39,6 +39,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    if os.environ.get("NK_RUN_CPU") == "1":
+        # the memory-bound repair/mid-tree configuration: run the SAME
+        # factor-only pass on the host CPU (live Schur peaks exceed one
+        # chip's HBM mid-tree; the host has the RAM), hand the tree-top
+        # rounds to the chip via NK_FACTOR_STOP_AFTER
+        jax.config.update("jax_platforms", "cpu")
+
     print(f"backend: {jax.default_backend()} devices: {jax.devices()}",
           flush=True)
 

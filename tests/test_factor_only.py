@@ -42,7 +42,11 @@ def problem(tmp_path_factory):
     run_gen_a(mat, opts=opts)
     matrix = read_matrix_file(mat)
     maps = load_ind_maps(mat)
-    sym = symbolic_from_matrix(maps, matrix, leaf_size=8)
+    # amalgamation off: these tests need a multi-round tree with live
+    # cross-round Schur stacks, which amalgamation correctly collapses
+    # away on a problem this tiny
+    sym = symbolic_from_matrix(maps, matrix, leaf_size=8,
+                               amalg_relax=0, amalg_min_cells=0)
     return matrix, maps, sym
 
 
