@@ -845,7 +845,8 @@ def _partial_factor_small_batch(F, P: int, tau, pack_bs: int = PANEL):
 
 def _partial_factor_body(F, P: int, p_arr, tau=0.0, use_pallas: bool = False,
                          allow_native_lu: bool = True,
-                         pack_bs: int = PANEL):
+                         pack_bs: int = PANEL,
+                         pallas_interpret: bool = False):
     """Blocked LU with restricted partial pivoting of F[:, :P, :P]; TRSM of
     the off-blocks; Schur update.
 
@@ -882,7 +883,8 @@ def _partial_factor_body(F, P: int, p_arr, tau=0.0, use_pallas: bool = False,
         if use_pallas and F.dtype == jnp.float32:
             from .pallas_kernels import pallas_pivoted_panel, panel_fits_vmem
             if panel_fits_vmem(R, T):
-                Pan, piv = pallas_pivoted_panel(Pan, off, p_arr, tau)
+                Pan, piv = pallas_pivoted_panel(Pan, off, p_arr, tau,
+                                                interpret=pallas_interpret)
             else:
                 Pan, piv = _pivoted_panel(Pan, off, p_arr, tau)
         else:
@@ -935,7 +937,8 @@ def _partial_factor_body(F, P: int, p_arr, tau=0.0, use_pallas: bool = False,
 
 _partial_factor = jax.jit(_partial_factor_body,
                           static_argnames=("P", "use_pallas",
-                                           "allow_native_lu", "pack_bs"))
+                                           "allow_native_lu", "pack_bs",
+                                           "pallas_interpret"))
 
 
 @jax.jit
@@ -1042,10 +1045,22 @@ class JaxMultifrontal:
                 jax.config.update("jax_compilation_cache_dir", cache)
         except Exception:
             pass
-        # Pallas panel kernel: TPU only (Mosaic), unsharded only (GSPMD
-        # cannot partition a custom call), float32 fronts only
+        # Pallas panel kernel: TPU only (Mosaic), float32 fronts only.
+        # Single-device engines call it directly; mesh engines run it
+        # INSIDE shard_map on each device's local batch slice (GSPMD
+        # cannot partition a pallas custom call, but manual sharding
+        # sidesteps the partitioner entirely — see
+        # _partial_factor_dispatch_round). NK_PALLAS_SHMAP=1 forces the
+        # shard_map path on simulated CPU meshes (interpret-mode Pallas)
+        # so tests can exercise it without hardware.
         self._use_pallas = (jax.default_backend() == "tpu"
                             and mesh is None and self.prec == jnp.float32)
+        self._pallas_shmap = (mesh is not None and self.prec == jnp.float32
+                              and (jax.default_backend() == "tpu"
+                                   or _os.environ.get(
+                                       "NK_PALLAS_SHMAP") == "1"))
+        self._shmap_cache: dict = {}
+        self.shmap_rounds = 0   # rounds factored via the shard_map panel
         # see _factor_body: serialize chunk programs on simulated meshes
         self._sync_rounds = (mesh is not None
                              and jax.default_backend() == "cpu")
@@ -1470,11 +1485,8 @@ class JaxMultifrontal:
                     # incident: sources' S files were deleted during the
                     # extend-add, the process died before save_round, and
                     # the resume fixpoint cascaded 124 rounds back)
-            K, U12, L21, S, perm = _partial_factor(
-                F, P=plan.P, p_arr=cc["p_arr"], tau=self._tau,
-                use_pallas=self._use_pallas,
-                allow_native_lu=self.mesh is None,
-                pack_bs=self._pack_bs)
+            K, U12, L21, S, perm = self._partial_factor_dispatch_round(
+                plan, F, cc["p_arr"])
             K, U12, L21, KD = self._shard_factors(plan, K, U12, L21)
             schur[rnd] = self._shard_schur(plan, S)
             if ckpt is not None and rnd in repair:
@@ -1552,6 +1564,51 @@ class JaxMultifrontal:
                     rnd, plan, self, need_schur=False)
                 factors[rnd] = (K, U12, L21, perm, KD)
         return tuple(factors)
+
+    def _partial_factor_dispatch_round(self, plan, F, p_arr):
+        """One round's partial factorization.
+
+        Mesh engines route batch-sharded rounds through jax.shard_map so
+        each device factors its LOCAL batch slice with the Pallas panel
+        kernel — the partial factor has no cross-front communication at
+        all, so manual sharding is exact and the single-device 4-6x
+        panel win carries into the distributed configuration (the
+        reference's pdgstrf2 panel factorization is distributed by
+        construction, SuperLU_brief_tree.txt:12-14; GSPMD alone cannot
+        split a pallas custom call). Rounds whose batch does not divide
+        the mesh (the tree-top front-axis-sharded rounds) keep the XLA
+        formulation under GSPMD."""
+        if (self._pallas_shmap and plan.B > 2
+                and plan.B % self.mesh.shape[self.mesh_axis] == 0):
+            key = (plan.B, plan.P, plan.N)
+            fn = self._shmap_cache.get(key)
+            if fn is None:
+                from jax.sharding import PartitionSpec as PS
+                interp = jax.default_backend() != "tpu"
+                P, pack_bs = plan.P, self._pack_bs
+                ax = self.mesh_axis
+
+                def local(F_, pa_, tau_):
+                    return _partial_factor_body(
+                        F_, P=P, p_arr=pa_, tau=tau_, use_pallas=True,
+                        allow_native_lu=False, pack_bs=pack_bs,
+                        pallas_interpret=interp)
+
+                # check_vma off: pallas_call's out_shape structs carry no
+                # varying-mesh-axes annotation, and the panel factor is
+                # trivially per-shard (no cross-device communication)
+                fn = jax.jit(jax.shard_map(
+                    local, mesh=self.mesh,
+                    in_specs=(PS(ax), PS(ax), PS()),
+                    out_specs=(PS(ax), PS(ax), PS(ax), PS(ax), PS(ax)),
+                    check_vma=False))
+                self._shmap_cache[key] = fn
+            self.shmap_rounds += 1
+            return fn(F, p_arr, jnp.asarray(self._tau, F.dtype))
+        return _partial_factor(F, P=plan.P, p_arr=p_arr, tau=self._tau,
+                               use_pallas=self._use_pallas,
+                               allow_native_lu=self.mesh is None,
+                               pack_bs=self._pack_bs)
 
     def _factor_dispatch(self, matrix: SparseMatrix) -> None:
         # sentinel zero at the end: padded a_src entries contribute nothing
