@@ -1089,13 +1089,23 @@ class JaxMultifrontal:
             # path is sum(ceil(P/bs)) block steps, its error ~ eps32 x
             # kappa(bs-block) — and the block conditioning that matters
             # tracks element growth, which scales with elimination-tree
-            # depth (~max front size). Shallow trees (gx3-class, max
-            # front < 4k) afford 1024-wide blocks (measured round 1:
-            # even FULL explicit inverses refined fine there); the
-            # 60-level production class keeps 512 (BENCH_NOTES round-2
-            # A/B). NK_SOLVE_BS overrides.
+            # depth (~max front size). Shallow trees (gx3-class) take
+            # FULL explicit inverses (bs = maxP): one GEMM per round in
+            # the apply AND one triangular-solve pair per round in
+            # _pack_diag_inv — measured round 3 on-chip A/B at gx3:
+            # steady factor 1.47s -> 0.99s and solve 1.34s -> 1.23s vs
+            # bs=1024, same residual class (round 1 already established
+            # full inverses refine fine at this depth). The 60-level
+            # production class keeps 512 (BENCH_NOTES round-2 A/B: full
+            # inverses' eps32 * kappa apply error stalls refinement at
+            # depth). NK_SOLVE_BS overrides.
             maxP = max((p.P for p in self.plans), default=PANEL)
-            self._pack_bs = 1024 if maxP <= 4096 else 512
+            if maxP <= 2048:
+                self._pack_bs = maxP
+            elif maxP <= 4096:
+                self._pack_bs = 1024
+            else:
+                self._pack_bs = 512
         from .memplan import plan_memory
         ndev = (self.mesh.shape[self.mesh_axis]
                 if self.mesh is not None else 1)

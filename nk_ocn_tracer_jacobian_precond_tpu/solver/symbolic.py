@@ -186,6 +186,12 @@ def amalgamate(graph: ColumnGraph, tree: DissectionTree,
         cur_max = max((psz[i] + bsz[i] for i in range(len(nodes))),
                       default=0)
         max_front = max(int(1.25 * cur_max), 4096)
+    # merged pivot blocks never exceed the tree's ORIGINAL max eliminated
+    # block: growing maxP reclassifies the whole factorization's adaptive
+    # solve block size (mf_jax: shallow trees take full explicit
+    # inverses) and reshapes the latency-critical tree-top rounds — the
+    # wins amalgamation is after live in the tiny-leaf fronts, not there
+    max_p = max(psz, default=0)
     merged = 0
     for nid in tree.postorder:
         changed = True
@@ -195,7 +201,7 @@ def amalgamate(graph: ColumnGraph, tree: DissectionTree,
                 pc, nc = psz[ch], psz[ch] + bsz[ch]
                 pp, np_ = psz[nid], psz[nid] + bsz[nid]
                 pm, nm = pc + pp, pc + np_
-                if nm > max_front:
+                if nm > max_front or pm > max_p:
                     continue
                 fl_before = _front_flops(pc, nc) + _front_flops(pp, np_)
                 fl_after = _front_flops(pm, nm)
