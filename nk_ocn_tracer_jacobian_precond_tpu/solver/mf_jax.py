@@ -969,33 +969,58 @@ def _set_own(W, vals, cells_own, own_rb):
 
 
 def _fwd_round(W, K, U12, L21, perm, KD, cells_own, cells_bor, own_rb=None,
-               bs: int = PANEL):
+               bs: int = PANEL, hi: bool = False):
     """Forward substitution for one round, batched over fronts: block
     substitution against the packed pivot block (_pack_diag_inv layout).
     A non-None KD (replicated diagonal-block stack) selects the masked
     substitution that keeps column-sharded K local to each device.
 
+    ``hi``: run this round's substitution arithmetic in float64
+    (factors stay float32 in memory; they are upcast transiently). The
+    tree-top rounds are where element growth concentrates, and the
+    sequential block chain there ACCUMULATES eps32 apply error — f64
+    arithmetic removes the accumulation term, leaving only the factor
+    storage rounding, which refinement absorbs in fewer cycles. Cheap
+    even under TPU f64 emulation: top rounds are small-batch and the
+    apply is O(P^2 nrhs).
+
     W is (flat_len+1, nrhs) with a trailing dump row for padding."""
     rhs = W[cells_own]                                  # (B, P, nrhs)
     rhs = jnp.take_along_axis(rhs, perm[:, :, None], axis=1)
+    if hi:
+        rhs = rhs.astype(jnp.float64)
+        K = K.astype(jnp.float64)
+        L21 = L21.astype(jnp.float64)
+        KD = KD.astype(jnp.float64) if KD is not None else None
     y = (_block_lower_apply_masked(K, KD, rhs) if KD is not None
          else _block_lower_apply(K, rhs, bs))
-    W = _set_own(W, y, cells_own, own_rb)
     upd = _mm(L21, y)
+    if hi:
+        y = y.astype(W.dtype)
+        upd = upd.astype(W.dtype)
+    W = _set_own(W, y, cells_own, own_rb)
     W = W.at[cells_bor.reshape(-1)].add(-upd.reshape(-1, y.shape[-1]),
                                         mode="drop")
     return W
 
 
 def _bwd_round(W, K, U12, L21, KD, cells_own, cells_bor, own_rb=None,
-               bs: int = PANEL):
+               bs: int = PANEL, hi: bool = False):
     """Backward substitution: x = U11^-1 (rhs - U12 xb), by block
-    substitution on the packed pivot block."""
+    substitution on the packed pivot block (``hi``: see _fwd_round)."""
     rhs = W[cells_own]
     xb = W[cells_bor]
+    if hi:
+        rhs = rhs.astype(jnp.float64)
+        xb = xb.astype(jnp.float64)
+        K = K.astype(jnp.float64)
+        U12 = U12.astype(jnp.float64)
+        KD = KD.astype(jnp.float64) if KD is not None else None
     rhs = rhs - _mm(U12, xb)
     x = (_block_upper_apply_masked(K, KD, rhs) if KD is not None
          else _block_upper_apply(K, rhs, bs))
+    if hi:
+        x = x.astype(W.dtype)
     return _set_own(W, x, cells_own, own_rb)
 
 
@@ -1748,18 +1773,31 @@ class JaxMultifrontal:
 
     # -- solve as one program ----------------------------------------------
 
+    def _hi_round(self, plan) -> bool:
+        """Tree-top rounds (big eliminated blocks, where element growth
+        concentrates) apply their substitution in float64: the factor
+        bits stay float32, but the sequential block chain stops
+        ACCUMULATING eps32 error, so refinement reaches the contract in
+        fewer cycles at depth. NK_SOLVE_F64_MINP overrides the threshold
+        (0 disables); requires x64 and float32 factors to mean anything."""
+        minp = int(_os.environ.get("NK_SOLVE_F64_MINP", "4096"))
+        return (minp > 0 and plan.P >= minp and self.prec == jnp.float32
+                and jax.config.jax_enable_x64)
+
     def _solve_program(self, W, factors, flat_consts):
         consts = self._unflatten_consts(flat_consts)
         for rnd in range(len(self.plans)):
             K, U12, L21, perm, KD = factors[rnd]
             W = _fwd_round(W, K, U12, L21, perm, KD,
                            consts[rnd]["own"], consts[rnd]["bor"],
-                           consts[rnd]["own_rb"], bs=self._pack_bs)
+                           consts[rnd]["own_rb"], bs=self._pack_bs,
+                           hi=self._hi_round(self.plans[rnd]))
         for rnd in range(len(self.plans) - 1, -1, -1):
             K, U12, L21, perm, KD = factors[rnd]
             W = _bwd_round(W, K, U12, L21, KD, consts[rnd]["own"],
                            consts[rnd]["bor"], consts[rnd]["own_rb"],
-                           bs=self._pack_bs)
+                           bs=self._pack_bs,
+                           hi=self._hi_round(self.plans[rnd]))
         return W
 
     def solve(self, b: np.ndarray) -> np.ndarray:
