@@ -122,15 +122,36 @@ class FactorRoundCheckpointer:
         return done
 
     def save_round(self, rnd: int, plan, K, U12, L21, perm,
-                   S=None) -> None:
-        # on-disk format stores the concatenated [K | U12] block (the
-        # factor-layout-v2 file format is unchanged by the in-memory
-        # K/U12 split, so long runs resume across that code change)
+                   S=None, pm=None) -> None:
         tmp = self._path(rnd) + ".tmp.npz"
-        FP = np.concatenate([np.asarray(K), np.asarray(U12)], axis=2)
-        np.savez(tmp, FP=FP, L21=np.asarray(L21),
-                 perm=np.asarray(perm), meta=self._meta(plan),
-                 nzhash=self.nzhash)
+        if pm is not None:
+            # v3 TRIMMED format: only each front's true (p, m) blocks are
+            # stored — K[b,:p,:p], U12[b,:p,:m], L21[b,:m,:p] raveled into
+            # one flat array. Batch padding (uniform round stacks) is
+            # 30-50% of the padded bytes at production scale (gx1 float64
+            # factors: 88 GB trimmed vs ~144 GB padded — the difference
+            # between fitting on this host's disk and not).
+            Kh, Uh, Lh = np.asarray(K), np.asarray(U12), np.asarray(L21)
+            parts = []
+            for b in range(plan.B):
+                p, m = int(pm[b, 0]), int(pm[b, 1])
+                if p:
+                    parts.append(Kh[b, :p, :p].ravel())
+                if p and m:
+                    parts.append(Uh[b, :p, :m].ravel())
+                    parts.append(Lh[b, :m, :p].ravel())
+            blocks = (np.concatenate(parts) if parts
+                      else np.empty(0, Kh.dtype))
+            np.savez(tmp, blocks=blocks, pm=np.asarray(pm, np.int64),
+                     perm=np.asarray(perm), meta=self._meta(plan),
+                     nzhash=self.nzhash)
+        else:
+            # v2 padded format (concatenated [K | U12] stack) — kept for
+            # engines that don't provide the trim map
+            FP = np.concatenate([np.asarray(K), np.asarray(U12)], axis=2)
+            np.savez(tmp, FP=FP, L21=np.asarray(L21),
+                     perm=np.asarray(perm), meta=self._meta(plan),
+                     nzhash=self.nzhash)
         os.replace(tmp, self._path(rnd))
         if S is not None and np.size(S):
             stmp = self._spath(rnd) + ".tmp.npy"
@@ -147,11 +168,16 @@ class FactorRoundCheckpointer:
         K = U12 = L21 = KD = perm = None
         if factors:
             with np.load(self._path(rnd), allow_pickle=False) as z:
-                FP = z["FP"]
-                K = eng._put(FP[:, :, :plan.P].astype(eng.prec), plan.B)
-                U12 = eng._put(np.ascontiguousarray(
-                    FP[:, :, plan.P:]).astype(eng.prec), plan.B)
-                L21 = eng._put(z["L21"].astype(eng.prec), plan.B)
+                if "blocks" in z.files:      # v3 trimmed
+                    Kh, Uh, Lh = _unpack_trimmed(z, plan)
+                else:                        # v2 padded
+                    FP = z["FP"]
+                    Kh = FP[:, :, :plan.P]
+                    Uh = np.ascontiguousarray(FP[:, :, plan.P:])
+                    Lh = z["L21"]
+                K = eng._put(Kh.astype(eng.prec), plan.B)
+                U12 = eng._put(Uh.astype(eng.prec), plan.B)
+                L21 = eng._put(Lh.astype(eng.prec), plan.B)
                 perm = eng._put(z["perm"], plan.B)
             K, U12, L21, KD = eng._shard_factors(plan, K, U12, L21)
         S = None
@@ -179,6 +205,35 @@ class FactorRoundCheckpointer:
             os.remove(self._spath(rnd))
         except OSError:
             pass
+
+
+def _unpack_trimmed(z, plan):
+    """Rebuild padded (B,P,P)/(B,P,M)/(B,M,P) factor stacks from a v3
+    trimmed round file. Padding is IDENTITY on K's diagonal and zero
+    elsewhere: the packed-inverse layout's diagonal blocks then act as
+    identity in the block substitution (tril(I,-1)=0, triu(I)=I), so
+    padded solve lanes pass through untouched — the same behavior the
+    factor kernels produce natively by padding assembled fronts with a
+    unit diagonal (mf_jax._assemble p_arr masking)."""
+    pm = z["pm"]
+    blocks = z["blocks"]
+    B, P, M = plan.B, plan.P, plan.M
+    K = np.zeros((B, P, P), blocks.dtype)
+    K[:, np.arange(P), np.arange(P)] = 1.0
+    U = np.zeros((B, P, M), blocks.dtype)
+    L = np.zeros((B, M, P), blocks.dtype)
+    off = 0
+    for b in range(B):
+        p, m = int(pm[b, 0]), int(pm[b, 1])
+        if p:
+            K[b, :p, :p] = blocks[off:off + p * p].reshape(p, p)
+            off += p * p
+        if p and m:
+            U[b, :p, :m] = blocks[off:off + p * m].reshape(p, m)
+            off += p * m
+            L[b, :m, :p] = blocks[off:off + m * p].reshape(m, p)
+            off += m * p
+    return K, U, L
 
 
 def _nzhash(matrix) -> str:

@@ -99,6 +99,7 @@ class MultifrontalFactorization:
         self.matrix = matrix
         self.A = matrix.to_scipy()
         self.refine_tol = refine_tol
+        precision = _resolve_precision(precision)
         if mesh is None and n_devices is not None and n_devices > 1:
             # the distributed mode (reference solve_ABdist / -n nprow,npcol,
             # solve_ABglobal.c:61-77): shard the front batches over a device
@@ -223,6 +224,60 @@ class MultifrontalFactorization:
                 f"(singular pivot block or overflow): {report}")
         return report
 
+    def _maybe_escalate_precision(self, rel: float) -> bool:
+        """Factor-precision escalation: when the float32 factorization is
+        too inaccurate for ANY refinement tier to repair (raw
+        preconditioner error O(1) — measured on 60-level trees, where
+        year-long implicit vertical diffusion drives elimination growth
+        to ~1e5-1e11 and eps32 x growth >= 1), refactor in float64 and
+        retry. This matches the reference's precision (SuperLU_DIST is
+        float64 throughout, solve_ABdist.c:518); float32 stays the fast
+        path for the shallow-tree problems where it demonstrably reaches
+        the 1e-10 contract. Returns True if the engine was rebuilt.
+        NK_ESCALATE=0 disables (tests that assert stall warnings)."""
+        import os
+        if self.impl != "jax" or os.environ.get("NK_ESCALATE", "1") == "0":
+            return False
+        import jax
+        import jax.numpy as jnp
+        if not jax.config.jax_enable_x64:
+            return False
+        if getattr(self.engine, "prec", None) != jnp.float32:
+            return False
+        # a float64 factor set that cannot fit the device is a compile
+        # OOM, not a repair: refuse up front with actionable advice
+        # (measured: gx3deep float64 peak 21.8 GB vs one v5e's 15.75 GB —
+        # the deep problems need the multi-device mesh, exactly like the
+        # reference's 144-rank SuperLU_DIST runs)
+        try:
+            from .memplan import plan_memory
+            ndev = (self.mesh.shape[self.engine.mesh_axis]
+                    if self.mesh is not None else 1)
+            peak = plan_memory(self.engine.plans, ndev, 8).peak_per_device
+            lim = _device_memory_limit()
+            if lim and peak > 0.92 * lim:
+                import warnings
+                warnings.warn(
+                    f"float32 factors failed (max rel residual {rel:.3e}) "
+                    f"but float64 factors need ~{peak / 1e9:.1f} GB/device "
+                    f"vs ~{lim / 1e9:.1f} GB available — rerun with more "
+                    f"devices (-n) or NK_PREC=f64 on a larger mesh",
+                    RuntimeWarning, stacklevel=3)
+                return False
+        except Exception:
+            pass    # no memory info: attempt the refactor anyway
+        from .mf_jax import JaxMultifrontal
+        dbg(1, f"solve escalation: float32 factors left max relative "
+               f"residual {rel:.3e} (> {100 * self.refine_tol:.1e}); "
+               f"refactoring in float64")
+        with timed("float64 escalation refactorization"):
+            self.engine = JaxMultifrontal(
+                self.sym, self._fac_matrix, mesh=self.mesh,
+                precision=jnp.float64,
+                checkpoint_dir=getattr(self.engine, "_ckpt_dir", None))
+        self._refiner = None    # rebind to the new factors
+        return True
+
     def _precond_solve(self, b: np.ndarray) -> np.ndarray:
         """Apply the (scaled) factorization: x ~= A^{-1} b."""
         if self.dr is None:
@@ -254,6 +309,10 @@ class MultifrontalFactorization:
                 # host<->device round trips)
                 X = self._device_refiner().solve(B)
                 rel = _rel_residuals(self.A, X, B)
+                if (rel.max() > 100 * self.refine_tol
+                        and self._maybe_escalate_precision(rel.max())):
+                    X = self._device_refiner().solve(B)
+                    rel = _rel_residuals(self.A, X, B)
                 if rel.max() > 100 * self.refine_tol:
                     import warnings
                     warnings.warn(
@@ -278,6 +337,12 @@ class MultifrontalFactorization:
                     X = iterative_refinement(self.A, self._precond_solve,
                                              B, X, tol=self.refine_tol)
                 rel = _rel_residuals(self.A, X, B)
+                if (rel.max() > 100 * self.refine_tol
+                        and self._maybe_escalate_precision(rel.max())):
+                    X = self._precond_solve(B)
+                    X = iterative_refinement(self.A, self._precond_solve,
+                                             B, X, tol=self.refine_tol)
+                    rel = _rel_residuals(self.A, X, B)
                 if rel.max() > 100 * self.refine_tol:
                     # never return a silently inaccurate solution: the
                     # backstop itself failed to converge
@@ -305,6 +370,50 @@ class MultifrontalFactorization:
                               f"(info={info})", RuntimeWarning, stacklevel=2)
             dbg(1, f"gmres-ir rhs {j}: info={info}")
         return X
+
+
+def _device_memory_limit() -> int | None:
+    """Per-device accelerator memory in bytes, when the backend exposes
+    it (TPU memory_stats); None on hosts (CPU 'devices' share RAM and a
+    plan-vs-RAM comparison there is the memplan's job, not this guard)."""
+    try:
+        import jax
+        d = jax.devices()[0]
+        if d.platform == "cpu":
+            return None
+        stats = d.memory_stats() or {}
+        return stats.get("bytes_limit") or None
+    except Exception:
+        return None
+
+
+def _resolve_precision(precision):
+    """Facade-level precision spec: a dtype, one of the strings
+    'f32'/'float32'/'f64'/'float64'/'auto', or None. 'auto'/None defer to
+    the engine's backend default (float32 on TPU, float64 on CPU tests)
+    plus the runtime escalation path (_maybe_escalate_precision). The
+    NK_PREC env var overrides an unset precision — the production knob
+    for forcing float64 factors on deep problems up front instead of
+    paying a doomed float32 factorization first."""
+    import os
+    if precision is None:
+        precision = os.environ.get("NK_PREC") or None
+    if precision is None or not isinstance(precision, str):
+        return precision
+    key = precision.lower()
+    if key in ("auto", ""):
+        return None
+    try:
+        import jax.numpy as jnp
+        table = {"f32": jnp.float32, "float32": jnp.float32,
+                 "f64": jnp.float64, "float64": jnp.float64}
+    except Exception:
+        table = {"f32": np.float32, "float32": np.float32,
+                 "f64": np.float64, "float64": np.float64}
+    if key not in table:
+        raise ValueError(f"unknown precision {precision!r} "
+                         f"(expected f32, f64, or auto)")
+    return table[key]
 
 
 def _rel_residuals(A, X, B) -> np.ndarray:

@@ -1059,6 +1059,16 @@ class JaxMultifrontal:
                          if (jax.config.jax_enable_x64 and on_cpu)
                          else jnp.float32)
         self.prec = precision
+        if (self.prec == jnp.float64
+                and not jax.config.jax_enable_x64):
+            # without x64, jnp silently downcasts every float64 array to
+            # float32 — the engine would "run in f64" while computing f32
+            # (exactly the phantom that burned the round-3 gx1 debugging:
+            # a sitecustomize pinned JAX_PLATFORMS=axon, and the f32-only
+            # TPU default made every 'f64 CPU' repro secretly f32)
+            raise ValueError(
+                "precision=float64 requires jax_enable_x64=True "
+                "(jax.config.update('jax_enable_x64', True))")
         try:  # persistent cache: kernels recompile across processes.
             # Only set when the process hasn't chosen one — this is the one
             # global knob we touch, and we never override a user setting.
@@ -1374,6 +1384,17 @@ class JaxMultifrontal:
     def _unflatten_consts(self, flat):
         return [dict(own=t[0], bor=t[1], own_rb=t[2]) for t in flat]
 
+    def _plan_pm(self, plan) -> np.ndarray:
+        """True (pivot, border) sizes per batch entry of a round — the
+        trim map for unpadded factor checkpoints (checkpoint.py v3 round
+        format). Batch entries beyond the real fronts (mesh batch-multiple
+        padding) are (0, 0): nothing of theirs is stored."""
+        pm = np.zeros((plan.B, 2), dtype=np.int64)
+        for b, nid in enumerate(plan.node_ids):
+            f = self.sym.fronts[nid]
+            pm[b] = (f.p, f.n - f.p)
+        return pm
+
     def _ckpt_for(self, matrix: SparseMatrix, nz: np.ndarray | None = None):
         """Round checkpointer keyed to this matrix's VALUES (in factor
         precision) + plan shape + factor-layout version + pack_bs — the
@@ -1537,7 +1558,8 @@ class JaxMultifrontal:
                     ckpt.drop_schur(src)
             elif ckpt is not None:
                 ckpt.save_round(rnd, plan, K, U12, L21, perm,
-                                S if uses[rnd] > 0 else None)
+                                S if uses[rnd] > 0 else None,
+                                pm=self._plan_pm(plan))
                 for src in drops:
                     ckpt.drop_schur(src)
             if ckpt is not None and not self._sync_rounds:

@@ -46,6 +46,14 @@ import jax.numpy as jnp
 from ..utils import dbg, timed
 
 
+def _giveup_threshold() -> float:
+    """Raw preconditioner-apply error above which refinement is hopeless
+    (the giveup branch in DeviceRefiner.solve). Read per solve, not at
+    import, so NK_REFINE_GIVEUP works whenever it is set."""
+    import os
+    return float(os.environ.get("NK_REFINE_GIVEUP", "0.25"))
+
+
 def _givens_lstsq(H, beta, m: int):
     """Batched min ||beta e1 - H y|| for the tiny Hessenberg H
     (m+1, m, nrhs) via Givens QR, unrolled (m is small and static).
@@ -432,6 +440,7 @@ class DeviceRefiner:
         # corrections, later solves (same factors, new RHS — the Newton
         # loop) skip the doomed plain-IR attempts
         phase = getattr(self, "_phase", "ir")
+        giveup = _giveup_threshold()
         applied_ir = False
         prev = np.inf
         stall = 0
@@ -461,6 +470,20 @@ class DeviceRefiner:
                 if rel < rel_best:
                     rel_best, X_best = rel, X.copy()
                 if rel <= self.tol:
+                    break
+                if (applied_ir or outer >= 1) and rel > giveup:
+                    # the preconditioner itself is O(1) wrong (raw apply
+                    # error, not slow contraction): no Krylov tier can
+                    # repair that — every observed case is float32 factor
+                    # breakdown under deep-tree element growth (raw rel
+                    # 0.4-1e4 measured at gx3deep/gx1 vs <=1e-4 whenever
+                    # refinement eventually converges). Bail out NOW so
+                    # the facade's precision escalation refactors in
+                    # float64 instead of grinding doomed GMRES-IR cycles
+                    # (the round-3 gx1 solve spun for hours here).
+                    dbg(1, f"refine: preconditioner apply error {rel:.3e} "
+                           f"> {giveup} — abandoning refinement "
+                           f"(factor-precision escalation is the repair)")
                     break
                 if phase == "ir" and (self.precond_host is None or
                                       (applied_ir and rel > 0.1 * prev)):

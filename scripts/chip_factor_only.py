@@ -17,6 +17,11 @@ Env knobs:
     NK_RUN_CKPT    checkpoint dir (default .bench_cache/fckpt_<size>)
     NK_MIN_RESUME  abort if fewer checkpointed rounds resume (plan or
                    hash mismatch guard; default 0)
+    NK_RUN_PREC    factor precision, f32 (default) or f64 — the deep
+                   production trees NEED f64: measured elimination growth
+                   makes eps32 x growth O(1) and the float32 factor set
+                   unusable as a preconditioner (round-3 gx1 solve
+                   stalled at raw residual 1.1e4)
 """
 
 import os
@@ -89,8 +94,12 @@ def main():
     fac_matrix, dr, dc = equilibrate(matrix)
     print(f"equilibrate {time.perf_counter()-t0:.1f}s", flush=True)
 
+    prec = jnp.float32
+    if os.environ.get("NK_RUN_PREC", "f32").lower() in ("f64", "float64"):
+        jax.config.update("jax_enable_x64", True)
+        prec = jnp.float64
     t0 = time.perf_counter()
-    eng = JaxMultifrontal(sym, fac_matrix, precision=jnp.float32,
+    eng = JaxMultifrontal(sym, fac_matrix, precision=prec,
                           checkpoint_dir=ckpt_dir, factorize=False,
                           factor_only=True)
     done = eng._scan_done(eng._ckpt_for(fac_matrix))

@@ -86,8 +86,15 @@ def main():
     # ~120/160 and lost everything)
     ckpt_dir = os.environ.get("NK_RUN_CKPT",
                               os.path.join(cache, f"fckpt_{size}"))
+    # f64 factors are the production default here: the 60-level trees'
+    # measured elimination growth makes eps32 x growth O(1) — the fp32
+    # round-2 gx1 factor set solved to raw residual 1.1e4, unusable even
+    # as a GMRES preconditioner. NK_RUN_PREC=f32 keeps the old behavior
+    # for comparison runs.
+    prec = (jnp.float32 if os.environ.get("NK_RUN_PREC", "f64") == "f32"
+            else jnp.float64)
     fac = MultifrontalFactorization(matrix, impl="jax", maps=maps, sym=sym,
-                                    n_devices=ndev, precision=jnp.float32,
+                                    n_devices=ndev, precision=prec,
                                     refine_tol=1e-11,
                                     factor_checkpoint_dir=ckpt_dir or None)
     t_factor = time.perf_counter() - t0

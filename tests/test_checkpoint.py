@@ -131,9 +131,20 @@ def test_round_checkpoint_resume(tmp_path):
     n_rounds = len(fac1.engine.plans)
     files = sorted(f for f in os.listdir(ck) if f.endswith(".npz"))
     assert len(files) == n_rounds
+    # v3 TRIMMED round format: unpadded per-front blocks (the difference
+    # between gx1's float64 factors fitting on disk and not); the padded
+    # reconstruction must be EXACT — factor kernels pad fronts with a
+    # unit diagonal, so identity-padding on reload reproduces the native
+    # padded stacks bit-for-bit
+    z0 = np.load(os.path.join(ck, files[-1]))
+    assert "blocks" in z0.files and "FP" not in z0.files
     rng = np.random.default_rng(0)
     b = rng.standard_normal(matrix.flat_len)
     x1 = fac1.solve(b, refine=False)
+    fac_nock = MultifrontalFactorization(matrix, impl="jax", maps=maps,
+                                         sym=sym)
+    x_nock = fac_nock.solve(b, refine=False)
+    np.testing.assert_allclose(x1, x_nock, rtol=0, atol=0)
 
     # simulate a crash that lost the tail rounds: delete the last two
     # checkpoints (and any Schur files), then "restart"

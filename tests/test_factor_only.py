@@ -108,8 +108,8 @@ def test_factor_only_continuation_skips_done_rounds(problem, tmp_path,
     n_keep = None
     orig_save = FactorRoundCheckpointer.save_round
 
-    def capped_save(self, rnd, plan, K, U12, L21, perm, S=None):
-        orig_save(self, rnd, plan, K, U12, L21, perm, S)
+    def capped_save(self, rnd, plan, K, U12, L21, perm, S=None, **kw):
+        orig_save(self, rnd, plan, K, U12, L21, perm, S, **kw)
         if rnd + 1 >= n_keep:
             raise _Stop
 
@@ -167,10 +167,10 @@ def test_death_before_save_leaves_resumable_prefix(problem, tmp_path,
     orig_save = FactorRoundCheckpointer.save_round
     n_keep = {}
 
-    def dying_save(self, rnd, plan, K, U12, L21, perm, S=None):
+    def dying_save(self, rnd, plan, K, U12, L21, perm, S=None, **kw):
         if rnd >= n_keep["n"]:
             raise _Died    # dies BEFORE persisting this round
-        orig_save(self, rnd, plan, K, U12, L21, perm, S)
+        orig_save(self, rnd, plan, K, U12, L21, perm, S, **kw)
 
     fac_probe = MultifrontalFactorization(
         matrix, impl="jax", maps=maps, sym=sym,
@@ -215,8 +215,8 @@ def test_schur_repair_keeps_banked_factors(problem, tmp_path, monkeypatch):
     orig_save = FactorRoundCheckpointer.save_round
     n_keep = {}
 
-    def capped_save(self, rnd, plan, K, U12, L21, perm, S=None):
-        orig_save(self, rnd, plan, K, U12, L21, perm, S)
+    def capped_save(self, rnd, plan, K, U12, L21, perm, S=None, **kw):
+        orig_save(self, rnd, plan, K, U12, L21, perm, S, **kw)
         if rnd + 1 >= n_keep["n"]:
             raise _Stop    # dies right AFTER persisting round n_keep-1
 
