@@ -71,9 +71,9 @@ def bench_scipy(matrix, B, tol):
     return t_factor, t_solve, res
 
 
-def bench_mf(matrix, maps, B, tol, impl):
+def bench_mf(matrix, maps, B, tol, impl, prec="f64"):
     # entry-point scope: enable x64 so refinement accumulates residuals in
-    # float64 on device (factors stay float32 on TPU, mf_jax.py)
+    # float64 on device
     import jax
     jax.config.update("jax_enable_x64", True)
     from nk_ocn_tracer_jacobian_precond_tpu.solver.mf import (
@@ -86,7 +86,7 @@ def bench_mf(matrix, maps, B, tol, impl):
     # warm-up: compiles every round kernel (cached persistently)
     t0 = time.perf_counter()
     fac = MultifrontalFactorization(matrix, impl=impl, maps=maps, sym=sym,
-                                    refine_tol=tol)
+                                    refine_tol=tol, precision=prec)
     t_factor_cold = time.perf_counter() - t0
     # steady state: numeric refactorization with compiled kernels — the
     # Newton-iteration reuse path (and only ONE factor set resident)
@@ -109,7 +109,7 @@ def bench_mf(matrix, maps, B, tol, impl):
 
 
 def bench_nk_loop(matrix, maps, B, tol, n_iter, cache_dir, size,
-                  baseline_s=None):
+                  baseline_s=None, prec="f64"):
     """The Newton-Krylov outer-loop workflow (BASELINE config 5; the
     reference's reuse path is options.Fact=FACTORED, solve_ABdist.c:539):
     per Newton iteration, the Jacobian gets NEW VALUES on the SAME
@@ -132,7 +132,7 @@ def bench_nk_loop(matrix, maps, B, tol, n_iter, cache_dir, size,
     t_sym = time.perf_counter() - t0
     t0 = time.perf_counter()
     fac = MultifrontalFactorization(matrix, impl="jax", maps=maps, sym=sym,
-                                    refine_tol=tol)
+                                    refine_tol=tol, precision=prec)
     t_cold = time.perf_counter() - t0
     print(f"# nk-loop: symbolic {t_sym:.2f}s (once), cold factor "
           f"{t_cold:.2f}s (compiles cached persistently)", file=sys.stderr)
@@ -203,6 +203,16 @@ def main():
     # per solve at gx3/gx3deep for 1e-11)
     p.add_argument("--tol", type=float, default=1e-10)
     p.add_argument("--impl", default="jax", choices=["jax", "numpy"])
+    # float64 is the bench default: the transport Jacobians' measured
+    # elimination growth (year-long implicit vertical diffusion) makes
+    # eps32 x growth O(1) even at gx3 depth — float32 factor accuracy is
+    # a knife's edge that flips with backend codegen (it met 2.7e-12 in
+    # round 1 and produced raw residual ~6-12 on the same problem in
+    # round 3). The reference is float64 throughout (SuperLU_DIST
+    # dgssvx); a benchmark must hold the 1e-10 contract RELIABLY.
+    # --prec f32 remains for comparison runs on shallow trees.
+    p.add_argument("--prec", default=os.environ.get("NK_PREC", "f64"),
+                   choices=["f32", "f64", "auto"])
     p.add_argument("--cache", default=os.path.join(REPO, ".bench_cache"))
     p.add_argument("--reuse-baseline", action="store_true",
                    help="reuse a previously measured scipy baseline for "
@@ -235,9 +245,10 @@ def main():
         # per-Newton-iteration baseline: sequential SuperLU re-factors +
         # re-solves every iteration (it has no numeric-reuse path)
         bench_nk_loop(matrix, maps, B, args.tol, args.nk_loop, args.cache,
-                      args.size, baseline_s=s_factor + s_solve)
+                      args.size, baseline_s=s_factor + s_solve,
+                      prec=args.prec)
         return
-    m = bench_mf(matrix, maps, B, args.tol, args.impl)
+    m = bench_mf(matrix, maps, B, args.tol, args.impl, prec=args.prec)
 
     ok = m["res"] <= 1e-10
     ours = m["factor"] + m["solve"]

@@ -270,6 +270,12 @@ class MultifrontalFactorization:
         dbg(1, f"solve escalation: float32 factors left max relative "
                f"residual {rel:.3e} (> {100 * self.refine_tol:.1e}); "
                f"refactoring in float64")
+        # free the failed float32 factor set BEFORE the float64 build:
+        # both sets resident at once is an avoidable OOM
+        self.engine.factors = None
+        self._refiner = None
+        import gc
+        gc.collect()
         with timed("float64 escalation refactorization"):
             self.engine = JaxMultifrontal(
                 self.sym, self._fac_matrix, mesh=self.mesh,

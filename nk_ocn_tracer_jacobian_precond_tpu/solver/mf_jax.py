@@ -431,8 +431,41 @@ def _assemble(nzval_ext, a_col, a_csrc, a_pos, a_src, p_arr,
     return F.at[:, ar, ar].add(eye)
 
 
+def _ea_chunk_len(N: int, Mp1: int, itemsize: int) -> int:
+    """Link-chunk length of _extend_add's temporaries (~0.5 GB) — shared
+    with the host-side wave-constant builder so chunk boundaries agree."""
+    return max(1, int(5e8 / (itemsize * N * Mp1)))
+
+
+def _dst_gather_waves(ds: np.ndarray, B: int, Lc: int) -> np.ndarray:
+    """Gather-form dst mapping for the float64-on-TPU extend-add:
+    (nchunk, W, B) int32 where entry [c, w, b] is the CHUNK-RELATIVE
+    index of the w-th link of chunk c whose dst slot is b, or the
+    chunk's zero-pad row (its own length) when there is none. W is the
+    max number of same-round children any front has. This replaces the
+    scatter-add: XLA:TPU's float64 scatter blows its scoped-vmem stack
+    (compiler bug at (Lc,896,896) updates), while a leading-axis gather
+    plus elementwise add is exact and lowers cleanly."""
+    L = len(ds)
+    nch = max(1, -(-L // Lc))
+    buckets = [[[] for _ in range(B)] for _ in range(nch)]
+    for lo in range(0, L, Lc):
+        c = lo // Lc
+        for li in range(lo, min(lo + Lc, L)):
+            buckets[c][int(ds[li])].append(li - lo)
+    W = max((len(b) for c in buckets for b in c), default=1) or 1
+    out = np.empty((nch, W, B), dtype=np.int32)
+    for c in range(nch):
+        pad_row = min(Lc, L - c * Lc)      # the zero row appended per chunk
+        out[c, :, :] = pad_row
+        for b in range(B):
+            for w, li in enumerate(buckets[c][b]):
+                out[c, w, b] = li
+    return out
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
-def _extend_add(F, S_src, src_slots, dst_slots, inv):
+def _extend_add(F, S_src, src_slots, dst_slots, inv, wlinks=None):
     """Batched extend-add of one source round's Schur complements:
     F[dst_slots[l]] += S_src[src_slots[l]][inv[l]][:, inv[l]], with S padded
     by a zero row/column so out-of-front positions contribute nothing.
@@ -460,7 +493,8 @@ def _extend_add(F, S_src, src_slots, dst_slots, inv):
     # chunk over links so the (Lc, N, M+1) temporaries stay bounded
     # (~0.5 GB) — at gx3deep-scale rounds the unchunked temporaries were
     # several GB on top of the resident factors
-    Lc = max(1, int(5e8 / (4 * N * Mp1)))
+    Lc = _ea_chunk_len(N, Mp1, F.dtype.itemsize)
+    f64_tpu = F.dtype.itemsize == 8 and not on_cpu
     for lo in range(0, L, Lc):
         hi = min(lo + Lc, L)
         iv = inv[lo:hi]
@@ -469,11 +503,65 @@ def _extend_add(F, S_src, src_slots, dst_slots, inv):
         if on_cpu:
             idx = jnp.broadcast_to(iv[:, None, :], (hi - lo, N, N))
             adds = jnp.take_along_axis(rows, idx, axis=2)
+        elif f64_tpu and wlinks is not None:
+            # float64 on TPU, formulated ENTIRELY as native-f32 one-hot
+            # GEMMs — every step is pure SELECTION (one unit coefficient
+            # per output element, no accumulation), which is exact in any
+            # precision, so the f64 Schur rows are split into hi+lo f32
+            # halves and reassembled in f64 only at the final add:
+            #   * an emulated-f64 GEMM costs ~10-20x the passes and a
+            #     128*Lc*N*N-byte HLO-temp law (compile OOM),
+            #   * the f64 scatter-add trips XLA:TPU's scoped-vmem limit,
+            #   * a leading-axis f64 gather of the (Lc,N,N) stack faults
+            #     the TPU worker outright (the same gather-kernel crash
+            #     the fp32 column selection hit in round 1).
+            # Duplicate dst slots are resolved by the wave constants
+            # (_dst_gather_waves): within one wave every dst is unique.
+            oh_t = jnp.swapaxes(
+                (iv[:, :, None] == jnp.arange(Mp1)[None, None, :]
+                 ).astype(jnp.float32), 1, 2)
+            rh = rows.astype(jnp.float32)
+            rl = (rows - rh.astype(F.dtype)).astype(jnp.float32)
+            zrow = jnp.zeros((1, N, N), jnp.float32)
+            ah = jnp.concatenate([_mm_raw(rh, oh_t), zrow], axis=0)
+            al = jnp.concatenate([_mm_raw(rl, oh_t), zrow], axis=0)
+            ah = ah.reshape(ah.shape[0], N * N)
+            al = al.reshape(al.shape[0], N * N)
+            wl = wlinks[lo // Lc]
+            NN = N * N
+            CH = 1 << 21    # 2M-column chunks: one monolithic f32 GEMM
+            #                 with 8.7M output columns faulted the worker
+            for w in range(wl.shape[0]):
+                d1h = (wl[w][:, None]
+                       == jnp.arange(ah.shape[0])[None, :]
+                       ).astype(jnp.float32)
+                parts = []
+                for co in range(0, NN, CH):
+                    ce = min(co + CH, NN)
+                    uh = _mm_raw(d1h[None], ah[None, :, co:ce])[0]
+                    ul = _mm_raw(d1h[None], al[None, :, co:ce])[0]
+                    parts.append(uh.astype(F.dtype) + ul.astype(F.dtype))
+                upd = (parts[0] if len(parts) == 1
+                       else jnp.concatenate(parts, axis=1))
+                F = F + upd.reshape(F.shape)
+            continue
         else:
             onehot = (iv[:, :, None] == jnp.arange(Mp1)[None, None, :]
                       ).astype(F.dtype)                  # (Lc, N, M+1)
-            adds = jnp.einsum("lak,lbk->lab", rows, onehot,
-                              precision=jax.lax.Precision.HIGHEST)
+            # batched GEMM via _mm: identical contraction to an einsum
+            # lak,lbk->lab; _mm's float64-on-TPU output chunking bounds
+            # XLA's emulation temps for external callers without wlinks
+            adds = _mm(rows, jnp.swapaxes(onehot, 1, 2))
+            if f64_tpu:
+                # no wave constants (external caller): accumulate via a
+                # destination-one-hot GEMM — exact unit coefficients,
+                # duplicates sum, temps bounded by _mm's chunking
+                Bf = F.shape[0]
+                d1h = (dst_slots[lo:hi][None, :]
+                       == jnp.arange(Bf)[:, None]).astype(F.dtype)
+                upd = _mm(d1h[None], adds.reshape(hi - lo, -1)[None])[0]
+                F = F + upd.reshape(F.shape)
+                continue
         F = F.at[dst_slots[lo:hi]].add(adds)
     return F
 
@@ -603,9 +691,63 @@ def _pack_diag_inv(LU, bs: int = PANEL):
     return out
 
 
-def _mm(a, b):
+def _mm_raw(a, b):
     return jnp.matmul(a, b, preferred_element_type=b.dtype,
                       precision=jax.lax.Precision.HIGHEST)
+
+
+# float64-dot temp budget on TPU (bytes); see _mm
+_F64_MM_BUDGET = int(_os.environ.get("NK_F64_MM_BUDGET", str(3 << 28)))
+
+
+def _mm(a, b):
+    """Batched matmul at HIGHEST precision.
+
+    float64 on TPU is software-emulated, and XLA:TPU's lowering
+    materializes ~32 float32 copies of the dot OUTPUT as HLO temps —
+    measured on v5e: temp bytes = 128 * B * M * N, INDEPENDENT of K
+    (a (16,1664,1664)@(.,1664,2944) f64 dot wants 10.0 GB of temps; the
+    gx3 float64 factor program OOM'd at compile with two 6.12 GB temps
+    from one Schur-update dot). For big-output float64 dots, chunk the
+    larger output axis under a fori_loop: the loop body's temp is one
+    chunk's, reused across iterations, and the carry is the real output
+    buffer updated in place."""
+    if (a.dtype != jnp.float64 or a.ndim != 3
+            or jax.default_backend() != "tpu"):
+        return _mm_raw(a, b)
+    B, M, K = a.shape
+    N = b.shape[-1]
+    if 128 * B * M * N <= _F64_MM_BUDGET:
+        return _mm_raw(a, b)
+    if M >= N:
+        mc = max(128, _F64_MM_BUDGET // (128 * B * N) // 128 * 128)
+        if mc >= M:
+            return _mm_raw(a, b)
+        pad = (-M) % mc
+        ap = jnp.pad(a, ((0, 0), (0, pad), (0, 0))) if pad else a
+
+        def body(i, o):
+            blk = jax.lax.dynamic_slice(ap, (0, i * mc, 0), (B, mc, K))
+            return jax.lax.dynamic_update_slice(o, _mm_raw(blk, b),
+                                                (0, i * mc, 0))
+
+        out = jax.lax.fori_loop(0, (M + pad) // mc, body,
+                                jnp.zeros((B, M + pad, N), a.dtype))
+        return out[:, :M] if pad else out
+    nc = max(128, _F64_MM_BUDGET // (128 * B * M) // 128 * 128)
+    if nc >= N:
+        return _mm_raw(a, b)
+    pad = (-N) % nc
+    bp = jnp.pad(b, ((0, 0), (0, 0), (0, pad))) if pad else b
+
+    def body(i, o):
+        blk = jax.lax.dynamic_slice(bp, (0, 0, i * nc), (B, K, nc))
+        return jax.lax.dynamic_update_slice(o, _mm_raw(a, blk),
+                                            (0, 0, i * nc))
+
+    out = jax.lax.fori_loop(0, (N + pad) // nc, body,
+                            jnp.zeros((B, M, N + pad), a.dtype))
+    return out[:, :, :N] if pad else out
 
 
 def _use_loop_form(Pdim: int, bs: int) -> bool:
@@ -867,11 +1009,15 @@ def _partial_factor_body(F, P: int, p_arr, tau=0.0, use_pallas: bool = False,
     N = F.shape[-1]
     B = F.shape[0]
     tau = jnp.asarray(tau, F.dtype)
-    if B <= 2 and allow_native_lu:
+    if (B <= 2 and allow_native_lu
+            and not (F.dtype == jnp.float64
+                     and jax.default_backend() == "tpu")):
         # unsharded tree-top rounds only: XLA's LU custom call has no
         # GSPMD partitioning rule, so under a mesh the hand-blocked path
         # below (purely batch-elementwise ops + GEMMs) keeps the round
-        # sharded instead of all-gathering the biggest fronts
+        # sharded instead of all-gathering the biggest fronts. XLA:TPU's
+        # LuDecomposition is also float32-only ("Only F32 and C64 types
+        # are implemented"), so float64-on-chip uses the panel loop too.
         return _partial_factor_small_batch(F, P, tau, pack_bs)
     perm_total = jnp.tile(jnp.arange(P, dtype=jnp.int32)[None, :], (B, 1))
     nb = (P + PANEL - 1) // PANEL
@@ -922,9 +1068,7 @@ def _partial_factor_body(F, P: int, p_arr, tau=0.0, use_pallas: bool = False,
                                           (B, N - off - T, T))
             A22 = jax.lax.dynamic_slice(F, (0, off + T, off + T),
                                         (B, rest, rest))
-            A22 = A22 - jnp.matmul(Lrows, A12,
-                                   preferred_element_type=A22.dtype,
-                                   precision=jax.lax.Precision.HIGHEST)
+            A22 = A22 - _mm(Lrows, A12)
             F = jax.lax.dynamic_update_slice(F, A22, (0, off + T, off + T))
     S = F[:, P:, P:]
     # pack the pivot block for the solve's block substitution: only the
@@ -1088,9 +1232,13 @@ class JaxMultifrontal:
         # _partial_factor_dispatch_round). NK_PALLAS_SHMAP=1 forces the
         # shard_map path on simulated CPU meshes (interpret-mode Pallas)
         # so tests can exercise it without hardware.
-        self._use_pallas = (jax.default_backend() == "tpu"
+        # NK_PALLAS=0 is the kill switch (falls back to the XLA
+        # formulation) — first used to bisect a chip-side miscompile
+        pallas_ok = _os.environ.get("NK_PALLAS", "1") != "0"
+        self._use_pallas = (jax.default_backend() == "tpu" and pallas_ok
                             and mesh is None and self.prec == jnp.float32)
         self._pallas_shmap = (mesh is not None and self.prec == jnp.float32
+                              and pallas_ok
                               and (jax.default_backend() == "tpu"
                                    or _os.environ.get(
                                        "NK_PALLAS_SHMAP") == "1"))
@@ -1362,7 +1510,22 @@ class JaxMultifrontal:
                 bor=self._put(p.cells_bor, p.B),
                 own_rb=own_rb,
                 groups=[(g.src_round, self._put(g.src_slots, None),
-                         self._put(g.dst_slots, None), self._put(g.inv, None))
+                         self._put(g.dst_slots, None), self._put(g.inv, None),
+                         self._put(_dst_gather_waves(
+                             g.dst_slots, p.B,
+                             _ea_chunk_len(
+                                 p.N, self.plans[g.src_round].M + 1,
+                                 np.dtype(self.prec).itemsize)), None)
+                         # the f32-pair wave formulation crashes the TPU
+                         # worker at gx3-class shapes (kernel fault, 3
+                         # reproductions 2026-08-19); opt-in until the
+                         # faulting kernel is isolated — without wave
+                         # constants _extend_add takes the (slower,
+                         # proven) chunked-f64 one-hot GEMM path
+                         if (np.dtype(self.prec).itemsize == 8
+                             and jax.default_backend() == "tpu"
+                             and _os.environ.get("NK_EA_WAVES") == "1")
+                         else None)
                         for g in p.child_groups]))
         return c
 
@@ -1446,8 +1609,16 @@ class JaxMultifrontal:
     def _factorize(self, matrix: SparseMatrix) -> None:
         # drop any previous factors FIRST: holding the old set while the
         # new one builds doubles peak memory — exactly the refactor-path
-        # OOM at gx3deep scale (factors alone are ~40% of HBM there)
-        self.factors = None
+        # OOM at gx3deep scale (factors alone are ~40% of HBM there).
+        # gc.collect() makes the drop synchronous: the factor tuples sit
+        # in reference cycles, and without an immediate collection the
+        # device buffers were still alive when the next dispatch started
+        # allocating (measured: gx3 float64 refactor RESOURCE_EXHAUSTED
+        # at 5.8 GB of dead factors + 9.4 GB new peak)
+        if getattr(self, "factors", None) is not None:
+            self.factors = None
+            import gc
+            gc.collect()
         # Mosaic's jaxpr lowering is recursive per op; tracing the Pallas
         # panel kernel from an already-deep Python stack (driver -> facade
         # -> engine -> jit trace) can trip the default 1000-frame limit
@@ -1529,8 +1700,8 @@ class JaxMultifrontal:
             drops: list[int] = []
             for gi, g in enumerate(plan.child_groups):
                 src_rnd = g.src_round      # static (plan), never traced
-                _, ss, ds, inv = cc["groups"][gi]
-                F = _extend_add(F, schur[src_rnd], ss, ds, inv)
+                _, ss, ds, inv, wl = cc["groups"][gi]
+                F = _extend_add(F, schur[src_rnd], ss, ds, inv, wl)
                 uses[src_rnd] -= 1
                 if uses[src_rnd] == 0:
                     schur[src_rnd] = None   # free device memory eagerly...
@@ -1759,11 +1930,14 @@ class JaxMultifrontal:
             for gi, g in enumerate(plan.child_groups):
                 sp = self.plans[g.src_round]
                 L = len(g.src_slots)
+                wl = cc["groups"][gi][4]
+                wshape = None if wl is None else tuple(wl.shape)
                 jobs.setdefault(
-                    ("ea", B, N, L, sp.B, sp.M),
+                    ("ea", B, N, L, sp.B, sp.M, wshape),
                     (_extend_add,
                      (sd((B, N, N), f32), sd((sp.B, sp.M, sp.M), f32),
-                      sd((L,), i32), sd((L,), i32), sd((L, N), i32)), {}))
+                      sd((L,), i32), sd((L,), i32), sd((L, N), i32),
+                      None if wl is None else sd(wshape, i32)), {}))
             jobs.setdefault(
                 ("pf", B, P, N),
                 (_partial_factor, (sd((B, N, N), f32),),

@@ -61,9 +61,9 @@ def main():
                       cc["p_arr"], N=plan.N, P=plan.P, spill=cc["spill"],
                       impl=cc["asm_impl"])
             for gi, g in enumerate(plan.child_groups):
-                _, ss, ds, inv = cc["groups"][gi]
+                _, ss, ds, inv, wl = cc["groups"][gi]
                 F = bench(f"extend N={plan.N}", mf_jax._extend_add,
-                          F, schur[g.src_round], ss, ds, inv)
+                          F, schur[g.src_round], ss, ds, inv, wl)
             K, U12, L21, S, perm = bench(
                 f"factor B={plan.B} P={plan.P} N={plan.N}",
                 mf_jax._partial_factor, F, P=plan.P, p_arr=cc["p_arr"],
