@@ -37,7 +37,12 @@ def main():
                                     refine_tol=1e-11)
     eng = fac.engine
 
-    # instrumented refactor: separate blocking timings per kernel class
+    # instrumented refactor: separate blocking timings per kernel class.
+    # Drop the facade's factor set first — holding it while re-running
+    # every phase doubles residency (float64 gx3 OOM'd here)
+    eng.factors = None
+    import gc
+    gc.collect()
     nz = np.zeros(len(fac._fac_matrix.nzval) + 1, dtype=eng.prec)
     nz[:-1] = fac._fac_matrix.nzval
     nzval_ext = eng._put(nz, None)
