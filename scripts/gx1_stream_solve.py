@@ -61,7 +61,7 @@ def main():
     print(f"symbolic {time.perf_counter()-t0:.1f}s", flush=True)
 
     rng = np.random.default_rng(0)
-    nrhs = 2
+    nrhs = int(os.environ.get("NK_NRHS", "4"))
     B = rng.standard_normal((matrix.flat_len, nrhs))
     t0 = time.perf_counter()
     X, rel = stream_solve(matrix, maps, sym, ckpt_dir, B,
@@ -71,6 +71,38 @@ def main():
     ok = bool(rel.max() <= 1e-10)
     print(f"{size} stream-solve: ok={ok} max_rel={rel.max():.3e} "
           f"residuals={rel} wall={t_solve:.1f}s", flush=True)
+
+    # machine-readable result artifact (VERDICT round-3 item 1): factor
+    # wall-clock is the mtime span of the round checkpoint files (the
+    # factor pass may span several resumed attempts)
+    import glob
+    import json
+    rounds = sorted(glob.glob(os.path.join(ckpt_dir, "round_*.npz")))
+    factor_span = (os.path.getmtime(rounds[-1]) - os.path.getmtime(rounds[0])
+                   if len(rounds) > 1 else 0.0)
+    ckpt_bytes = sum(os.path.getsize(f) for f in glob.glob(
+        os.path.join(ckpt_dir, "round_*")))
+    result = {
+        "problem": size,
+        "flat_len": int(matrix.flat_len),
+        "nnz": int(matrix.nnz),
+        "precision": "float64",
+        "nrhs": nrhs,
+        "ok": ok,
+        "max_rel_residual": float(rel.max()),
+        "rel_residuals": [float(r) for r in rel],
+        "residual_contract": 1e-10,
+        "stream_solve_wall_s": round(t_solve, 1),
+        "factor_rounds": len(rounds),
+        "factor_wall_span_s": round(factor_span, 1),
+        "factor_ckpt_bytes": int(ckpt_bytes),
+        "reference_equivalent": ("144-rank SuperLU_DIST dgssvx, "
+                                 "test/test_solve_ABglobal.csh:6-7,31-32"),
+    }
+    out = os.path.join(cache, f"{size}_result.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"result artifact: {out}", flush=True)
     return 0 if ok else 1
 
 
