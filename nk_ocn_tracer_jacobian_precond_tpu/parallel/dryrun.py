@@ -124,10 +124,87 @@ def run(n_devices: int) -> None:
     assert np.allclose(y_sh, y_loc, rtol=1e-5, atol=1e-6 * scale), \
         "sharded stencil SpMV mismatch"
 
+    # --- scaled case: the production gx1 code paths -----------------------
+    # (VERDICT round-3 item 9) Force, at dryrun-affordable size, exactly
+    # the mechanisms the 1-degree production run uses and the toy demo
+    # above cannot reach:
+    #   * multi-chunk rounds (NK_MEM_BUDGET forces the chunker to split),
+    #   * front-axis (row-)sharded tree-top factors + the masked
+    #     substitution path (ROW_SHARD_MIN lowered so the scaled tree-top
+    #     qualifies at this size),
+    #   * the streamed-rounds out-of-core path: factor-only pass writing
+    #     per-round checkpoints, then solver/stream_solve.py over them.
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..solver.checkpoint import load_symbolic, save_symbolic
+    from ..solver.mf import equilibrate
+    from ..solver.mf_jax import JaxMultifrontal, build_plan
+    from ..solver.stream_solve import stream_solve
+    from ..solver.symbolic import symbolic_from_matrix
+
+    import jax.numpy as jnp3
+
+    asm3, maps3 = make_demo_assembly(imt=32, jmt=24, km=12,
+                                     hmix_type="isop_file")
+    nz3, ci3, rp3 = to_csr(asm3)
+    matrix3 = SparseMatrix(nzval=nz3, colind=ci3, rowptr=rp3,
+                           coupled_tracer_cnt=asm3.nt)
+    sym3 = symbolic_from_matrix(maps3, matrix3, leaf_size=16)
+    plans_default = build_plan(sym3, matrix3, batch_multiple=n_devices)
+    old_env = _os.environ.get("NK_MEM_BUDGET")
+    old_min = JaxMultifrontal.ROW_SHARD_MIN
+    try:
+        _os.environ["NK_MEM_BUDGET"] = "2e6"     # ~2 MB: forces chunking
+        JaxMultifrontal.ROW_SHARD_MIN = 256
+        fac3 = MultifrontalFactorization(matrix3, impl="jax", maps=maps3,
+                                         sym=sym3, n_devices=n_devices)
+        eng3 = fac3.engine
+        assert len(eng3.plans) > len(plans_default), \
+            "NK_MEM_BUDGET did not force multi-chunk rounds " \
+            f"({len(eng3.plans)} vs {len(plans_default)} plans)"
+        rowsh = [i for i, p in enumerate(eng3.plans)
+                 if eng3._row_sharded(p)]
+        masked = [i for i in rowsh if eng3.factors[i][4] is not None]
+        assert rowsh, "no front-axis (row-)sharded round at scaled size"
+        assert masked, "no round took the masked-substitution (KD) path"
+        B3 = rng.standard_normal((matrix3.flat_len, 3))
+        X3 = fac3.solve(B3)
+        A3 = matrix3.to_scipy()
+        rel3 = (np.linalg.norm(A3 @ X3 - B3, axis=0)
+                / np.linalg.norm(B3, axis=0))
+        assert rel3.max() <= contract, \
+            f"scaled front-sharded residual {rel3.max():.3e}"
+
+        # streamed-rounds path: factor-only checkpoint pass (single
+        # engine, offload on) followed by the out-of-core stream solve —
+        # the exact split the gx1 production run uses
+        ckdir = _tempfile.mkdtemp(prefix="nk_dryrun_fckpt_")
+        fm3, _, _ = equilibrate(matrix3)
+        prec3 = jnp3.float64 if jax.config.jax_enable_x64 else None
+        eng_f = JaxMultifrontal(sym3, fm3, precision=prec3,
+                                checkpoint_dir=ckdir, factor_only=True)
+        X3s, rel3s = stream_solve(matrix3, maps3, sym3, ckdir, B3,
+                                  pack_bs=eng_f._pack_bs)
+        assert rel3s.max() <= contract, \
+            f"streamed-rounds residual {rel3s.max():.3e}"
+        import shutil
+        shutil.rmtree(ckdir, ignore_errors=True)
+    finally:
+        JaxMultifrontal.ROW_SHARD_MIN = old_min
+        if old_env is None:
+            _os.environ.pop("NK_MEM_BUDGET", None)
+        else:
+            _os.environ["NK_MEM_BUDGET"] = old_env
+
     print(f"dryrun ok: {n_devices} devices, {sharded} sharded factor "
           f"rounds, transport-matrix residual {rel.max():.3e} <= "
           f"{contract:.0e} contract; ill-conditioned secondary "
-          f"{rel2.max():.3e} (SuperLU on same system: {rel2_ref.max():.3e})")
+          f"{rel2.max():.3e} (SuperLU on same system: {rel2_ref.max():.3e}); "
+          f"scaled case: {len(eng3.plans)} chunked rounds "
+          f"({len(plans_default)} default), {len(rowsh)} row-sharded, "
+          f"{len(masked)} masked-substitution, front-sharded residual "
+          f"{rel3.max():.3e}, streamed-rounds residual {rel3s.max():.3e}")
 
 
 def main(argv=None) -> int:

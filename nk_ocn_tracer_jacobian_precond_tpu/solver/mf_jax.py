@@ -159,6 +159,13 @@ def build_plan(sym: SymbolicFactorization, matrix: SparseMatrix,
     in the owned-row x border block) — the standard multifrontal assembly
     rule expressed as array ops over all nnz at once.
     """
+    # NK_MEM_BUDGET: front-stack transient budget override (bytes). Used
+    # by the scaled multichip dryrun to force multi-chunk rounds at small
+    # problem sizes; also the production knob for hosts/chips with less
+    # memory than the 1.5 GB default assumes. The budget changes the plan
+    # (chunk boundaries), so factor checkpoints key on the plan count.
+    mem_budget_bytes = float(_os.environ.get("NK_MEM_BUDGET",
+                                             mem_budget_bytes))
     flat_len = sym.flat_len
     csr_rowptr = np.asarray(matrix.rowptr)
     csr_colind = np.asarray(matrix.colind, dtype=np.int64)
@@ -507,8 +514,13 @@ def _extend_add(F, S_src, src_slots, dst_slots, inv, wlinks=None):
             # float64 on TPU, formulated ENTIRELY as native-f32 one-hot
             # GEMMs — every step is pure SELECTION (one unit coefficient
             # per output element, no accumulation), which is exact in any
-            # precision, so the f64 Schur rows are split into hi+lo f32
-            # halves and reassembled in f64 only at the final add:
+            # precision. The f64 Schur rows are split into THREE f32
+            # components (hi/mid/lo, 3 x 24 >= 53 mantissa bits — a 2-way
+            # split keeps only ~48 bits and is NOT exact) and reassembled
+            # in f64 only at the final add, making this path BIT-EQUAL to
+            # an f64 gather/scatter formulation (asserted by
+            # scripts/ea_bisect.py stage 5 and tests). Why not the direct
+            # forms:
             #   * an emulated-f64 GEMM costs ~10-20x the passes and a
             #     128*Lc*N*N-byte HLO-temp law (compile OOM),
             #   * the f64 scatter-add trips XLA:TPU's scoped-vmem limit,
@@ -521,11 +533,15 @@ def _extend_add(F, S_src, src_slots, dst_slots, inv, wlinks=None):
                 (iv[:, :, None] == jnp.arange(Mp1)[None, None, :]
                  ).astype(jnp.float32), 1, 2)
             rh = rows.astype(jnp.float32)
-            rl = (rows - rh.astype(F.dtype)).astype(jnp.float32)
+            res1 = rows - rh.astype(F.dtype)        # exact in f64
+            rm = res1.astype(jnp.float32)
+            rl = (res1 - rm.astype(F.dtype)).astype(jnp.float32)
             zrow = jnp.zeros((1, N, N), jnp.float32)
             ah = jnp.concatenate([_mm_raw(rh, oh_t), zrow], axis=0)
+            am = jnp.concatenate([_mm_raw(rm, oh_t), zrow], axis=0)
             al = jnp.concatenate([_mm_raw(rl, oh_t), zrow], axis=0)
             ah = ah.reshape(ah.shape[0], N * N)
+            am = am.reshape(am.shape[0], N * N)
             al = al.reshape(al.shape[0], N * N)
             wl = wlinks[lo // Lc]
             NN = N * N
@@ -539,8 +555,11 @@ def _extend_add(F, S_src, src_slots, dst_slots, inv, wlinks=None):
                 for co in range(0, NN, CH):
                     ce = min(co + CH, NN)
                     uh = _mm_raw(d1h[None], ah[None, :, co:ce])[0]
+                    um = _mm_raw(d1h[None], am[None, :, co:ce])[0]
                     ul = _mm_raw(d1h[None], al[None, :, co:ce])[0]
-                    parts.append(uh.astype(F.dtype) + ul.astype(F.dtype))
+                    # (hi + mid) + lo: disjoint mantissa ranges — exact
+                    parts.append((uh.astype(F.dtype) + um.astype(F.dtype))
+                                 + ul.astype(F.dtype))
                 upd = (parts[0] if len(parts) == 1
                        else jnp.concatenate(parts, axis=1))
                 F = F + upd.reshape(F.shape)

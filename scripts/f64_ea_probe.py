@@ -37,6 +37,13 @@ def main():
     from nk_ocn_tracer_jacobian_precond_tpu.utils import set_dbg_lvl
 
     set_dbg_lvl(1)
+    # the wave gate (mf_jax._device_constants) requires backend==tpu AND
+    # NK_EA_WAVES=1; on any other backend this probe would "pass" while
+    # exercising only the default chunked path (advisor round-3 finding)
+    if jax.default_backend() != "tpu":
+        print(f"ABORT: backend={jax.default_backend()}, wave path needs "
+              f"tpu", flush=True)
+        return 2
     print(f"backend: {jax.default_backend()}", flush=True)
     cache = os.path.join(os.path.dirname(__file__), "..", ".bench_cache")
     matrix, maps = build_problem(size, cache)
@@ -58,18 +65,29 @@ def main():
 
     rng = np.random.default_rng(0)
     B = rng.standard_normal((matrix.flat_len, 4))
+    A = matrix.to_scipy()
+    # RAW preconditioner apply (refine=False): this is what measures the
+    # extend-add's accuracy — a refined residual only measures that
+    # GMRES-IR converged (advisor round-3 finding). The wave path is a
+    # bit-exact selection, so raw must match the default path's class.
+    t0 = time.perf_counter()
+    X_raw = fac.solve(B, refine=False)
+    t_raw = time.perf_counter() - t0
+    rel_raw = np.max(np.linalg.norm(A @ X_raw - B, axis=0)
+                     / np.linalg.norm(B, axis=0))
     t0 = time.perf_counter()
     X = fac.solve(B)
     t0b = time.perf_counter() - t0
     t0 = time.perf_counter()
     X = fac.solve(B)
     t_solve = time.perf_counter() - t0
-    A = matrix.to_scipy()
     rel = np.max(np.linalg.norm(A @ X - B, axis=0) / np.linalg.norm(B, axis=0))
-    print(f"solve cold {t0b:.2f}s steady {t_solve:.2f}s max_rel {rel:.3e}",
-          flush=True)
-    print(f"RESULT size={size} waves=1 steady_factor={t_steady:.2f} "
-          f"solve={t_solve:.2f} rel={rel:.3e} ok={rel <= 1e-10}", flush=True)
+    print(f"solve cold {t0b:.2f}s steady {t_solve:.2f}s max_rel {rel:.3e} "
+          f"raw {rel_raw:.3e} ({t_raw:.2f}s)", flush=True)
+    waves_eff = os.environ.get("NK_EA_WAVES")   # the gate actually seen
+    print(f"RESULT size={size} waves={waves_eff} "
+          f"steady_factor={t_steady:.2f} solve={t_solve:.2f} "
+          f"rel={rel:.3e} raw={rel_raw:.3e} ok={rel <= 1e-10}", flush=True)
     return 0 if rel <= 1e-10 else 1
 
 

@@ -1,0 +1,93 @@
+"""On-chip Pallas kernel smoke test (VERDICT round-3 item 7).
+
+Runs every real Mosaic-compiled kernel this framework ships on tiny
+shapes on the ACTUAL attached TPU and cross-checks each against its
+interpret-mode reference. Worker-crash-class Mosaic regressions (hit in
+rounds 1 and 3: gather kernel faults, convert-lowering recursion) are
+caught HERE, in ~1 min, instead of mid-way through a multi-hour
+production factorization.
+
+bench.py invokes this in a subprocess before timing anything and refuses
+to run if a kernel is broken; the output names the failing kernel.
+
+Exit 0 = all kernels OK. Exit 1 = mismatch (named). Exit 2 = backend is
+not TPU (nothing to smoke). A worker fault shows up as a nonzero rc with
+the kernel name already printed (each check prints BEFORE running).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_enable_x64", True)   # production session setting
+
+    if jax.default_backend() != "tpu":
+        print(f"pallas-smoke: backend={jax.default_backend()}, skipping",
+              flush=True)
+        return 2
+
+    from nk_ocn_tracer_jacobian_precond_tpu.solver.pallas_kernels import (
+        pallas_ell_assemble, pallas_pivoted_panel)
+
+    rng = np.random.default_rng(11)
+    failures = []
+
+    # --- batched restricted-pivot panel LU (dgstrf2 analog) -------------
+    B, R, T = 4, 256, 128
+    Pan = rng.standard_normal((B, R, T)).astype(np.float32)
+    # identity padding beyond each front's true rows, like the real plans
+    p_arr = np.array([128, 96, 128, 64], dtype=np.int32)
+    print("pallas-smoke: pivoted_panel (compiled) ...", flush=True)
+    out_c, piv_c = pallas_pivoted_panel(jnp.asarray(Pan), 0,
+                                        jnp.asarray(p_arr), tau=1e-8)
+    out_c, piv_c = np.asarray(out_c), np.asarray(piv_c)
+    print("pallas-smoke: pivoted_panel (interpret) ...", flush=True)
+    out_i, piv_i = pallas_pivoted_panel(jnp.asarray(Pan), 0,
+                                        jnp.asarray(p_arr), tau=1e-8,
+                                        interpret=True)
+    out_i, piv_i = np.asarray(out_i), np.asarray(piv_i)
+    if not np.array_equal(piv_c, piv_i):
+        failures.append("pivoted_panel: pivot choices differ "
+                        f"({int((piv_c != piv_i).sum())} of {piv_c.size})")
+    err = np.max(np.abs(out_c - out_i))
+    scale = max(1.0, float(np.max(np.abs(out_i))))
+    if err > 1e-5 * scale:
+        failures.append(f"pivoted_panel: values differ, max abs {err:.3e}")
+    print(f"pallas-smoke: pivoted_panel ok (max abs diff {err:.1e})",
+          flush=True)
+
+    # --- ELL gather-form front assembly ---------------------------------
+    B, R, W = 3, 256, 18
+    a_col = rng.integers(0, R, size=(B, R, W)).astype(np.int32)
+    vals = rng.standard_normal((B, R, W)).astype(np.float32)
+    a_col[:, :, -2:] = 0
+    vals[:, :, -2:] = 0.0
+    print("pallas-smoke: ell_assemble (compiled) ...", flush=True)
+    F_c = np.asarray(pallas_ell_assemble(jnp.asarray(a_col),
+                                         jnp.asarray(vals)))
+    print("pallas-smoke: ell_assemble (interpret) ...", flush=True)
+    F_i = np.asarray(pallas_ell_assemble(jnp.asarray(a_col),
+                                         jnp.asarray(vals), interpret=True))
+    err = np.max(np.abs(F_c - F_i))
+    if err > 1e-6:
+        failures.append(f"ell_assemble: values differ, max abs {err:.3e}")
+    print(f"pallas-smoke: ell_assemble ok (max abs diff {err:.1e})",
+          flush=True)
+
+    if failures:
+        for f in failures:
+            print(f"pallas-smoke FAIL: {f}", flush=True)
+        return 1
+    print("pallas-smoke: ALL KERNELS OK", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
