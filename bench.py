@@ -123,9 +123,18 @@ def bench_nk_loop(matrix, maps, B, tol, n_iter, cache_dir, size,
         MultifrontalFactorization)
     from nk_ocn_tracer_jacobian_precond_tpu.solver.symbolic import (
         symbolic_from_matrix)
-    from nk_ocn_tracer_jacobian_precond_tpu.drivers.gen_a import run_gen_a
     from nk_ocn_tracer_jacobian_precond_tpu.ops import (
         AssemblyOptions, PerTracerOptions)
+
+    import jax.numpy as jnp
+    from nk_ocn_tracer_jacobian_precond_tpu.grid import gen_ind_maps
+    from nk_ocn_tracer_jacobian_precond_tpu.grid.grid import load_grid
+    from nk_ocn_tracer_jacobian_precond_tpu.ops.assemble import (
+        assemble_jacobian)
+    from nk_ocn_tracer_jacobian_precond_tpu.ops.device_update import (
+        build_update_plan)
+    from nk_ocn_tracer_jacobian_precond_tpu.ops.fieldsource import (
+        FileFieldSource)
 
     t0 = time.perf_counter()
     sym = symbolic_from_matrix(maps, matrix, leaf_size=16)
@@ -134,25 +143,40 @@ def bench_nk_loop(matrix, maps, B, tol, n_iter, cache_dir, size,
     fac = MultifrontalFactorization(matrix, impl="jax", maps=maps, sym=sym,
                                     refine_tol=tol, precision=prec)
     t_cold = time.perf_counter() - t0
+    # device value-update plan (once per pattern, like the symbolic
+    # phase): per-iteration re-assembly becomes one jitted gather+fold
+    # over the stacked coefficient fields (ops/device_update.py) —
+    # the reference's per-iteration re-assembly loops
+    # (src/matrix.c:1224-1280, 2233-2376) collapse to O(ms) on chip
+    t0 = time.perf_counter()
+    circ = os.path.join(cache_dir, f"circ_{size}.nc")
+    pt = PerTracerOptions(sink_type="const", sink_rate=1.21e-4)
+    opts = AssemblyOptions(circ_fname=circ, adv_type="centered",
+                           hmix_type="isop_file", vmix_type="file",
+                           per_tracer=[pt])
+    grid = load_grid(circ, None)
+    asm = assemble_jacobian(grid, opts, FileFieldSource(circ), None,
+                            gen_ind_maps(np.asarray(grid.KMT), grid.km))
+    plan = build_update_plan(asm, matrix)
+    stacked0 = jnp.asarray(plan.stack_fields(asm))
+    import jax as _jax
+    upd_fn = _jax.jit(lambda s, c: plan.update(s * c))
+    t_plan = time.perf_counter() - t0
     print(f"# nk-loop: symbolic {t_sym:.2f}s (once), cold factor "
-          f"{t_cold:.2f}s (compiles cached persistently)", file=sys.stderr)
+          f"{t_cold:.2f}s (compiles cached persistently), update plan "
+          f"{t_plan:.2f}s (once)", file=sys.stderr)
     rows = []
     rng = np.random.default_rng(42)
-    nzval0 = np.asarray(matrix.nzval)
-    circ = os.path.join(cache_dir, f"circ_{size}.nc")
     for it in range(1, n_iter + 1):
         # new Jacobian values, same pattern: multiplicative perturbation
-        # (zeros stay zeros, signs preserved) — the shape of a Newton
-        # update of the linearization point
+        # of the coefficient FIELDS (zeros stay zeros, signs preserved)
+        # — the shape of a Newton update of the linearization point.
+        # The update runs on device; timing includes the D2H fetch of
+        # the new nzval that the (host) equilibration consumes.
+        c = jnp.asarray(1.0 + 1e-3 * rng.standard_normal(plan.total))
         t0 = time.perf_counter()
-        pt = PerTracerOptions(sink_type="const", sink_rate=1.21e-4)
-        opts = AssemblyOptions(circ_fname=circ, adv_type="centered",
-                               hmix_type="isop_file", vmix_type="file",
-                               per_tracer=[pt])
-        m_it = run_gen_a(os.path.join(cache_dir, f"matrix_{size}_nk.nc"),
-                         opts=opts)
+        nz = np.asarray(upd_fn(stacked0, c))
         t_asm = time.perf_counter() - t0
-        nz = nzval0 * (1.0 + 1e-3 * rng.standard_normal(len(nzval0)))
         m_new = SparseMatrix(nzval=nz, colind=matrix.colind,
                              rowptr=matrix.rowptr,
                              coupled_tracer_cnt=matrix.coupled_tracer_cnt)

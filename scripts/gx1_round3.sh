@@ -26,6 +26,7 @@ from bench import build_problem
 m, maps = build_problem('gx1', '/root/repo/.bench_cache')
 print(f"gx1 matrix ready: flat_len={m.flat_len} nnz={m.nnz}", flush=True)
 EOF
+  [ $? -eq 0 ] || { log "matrix build FAILED"; exit 1; }
 fi
 
 log "factor pass (host CPU, float64, checkpointed)"

@@ -28,6 +28,12 @@ def main() -> int:
     import jax.numpy as jnp
     jax.config.update("jax_enable_x64", True)   # production session setting
 
+    # honor an explicit CPU request: sitecustomize pre-imports jax pinned
+    # to the axon TPU, so the env var alone would NOT switch backends and
+    # this probe would block on a busy TPU tunnel during CPU-only runs
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     if jax.default_backend() != "tpu":
         print(f"pallas-smoke: backend={jax.default_backend()}, skipping",
               flush=True)
