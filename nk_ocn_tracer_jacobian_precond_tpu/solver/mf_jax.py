@@ -1103,6 +1103,9 @@ _partial_factor = jax.jit(_partial_factor_body,
                                            "allow_native_lu", "pack_bs",
                                            "pallas_interpret"))
 
+# jit fallbacks for _aot_call, keyed by the precompile job-key tag
+_AOT_FNS = {"asm": _assemble, "ea": _extend_add, "pf": _partial_factor}
+
 
 @jax.jit
 def _tiny_probe(x):
@@ -1712,15 +1715,24 @@ class JaxMultifrontal:
                     f"factor-only resume scan (concurrent writer on "
                     f"{self._ckpt_dir}?) — its plan constants were skipped "
                     f"and it cannot be recomputed in this process")
-            F = _assemble(nzval_ext, cc["a_col"], cc["a_csrc"],
-                          cc["a_pos"], cc["a_src"], cc["p_arr"],
-                          N=plan.N, P=plan.P, spill=cc["spill"],
-                          impl=cc["asm_impl"])
+            asm_args = (nzval_ext, cc["a_col"], cc["a_csrc"],
+                        cc["a_pos"], cc["a_src"], cc["p_arr"])
+            F = self._aot_call(
+                ("asm", plan.B, plan.a_pos.shape[1], plan.a_col.shape[2],
+                 plan.N, plan.P, cc["spill"], cc["asm_impl"]),
+                asm_args, dict(N=plan.N, P=plan.P, spill=cc["spill"],
+                               impl=cc["asm_impl"]),
+                asm_args, {})
             drops: list[int] = []
             for gi, g in enumerate(plan.child_groups):
                 src_rnd = g.src_round      # static (plan), never traced
                 _, ss, ds, inv, wl = cc["groups"][gi]
-                F = _extend_add(F, schur[src_rnd], ss, ds, inv, wl)
+                sp = self.plans[src_rnd]
+                ea_args = (F, schur[src_rnd], ss, ds, inv, wl)
+                F = self._aot_call(
+                    ("ea", plan.B, plan.N, len(g.src_slots), sp.B, sp.M,
+                     None if wl is None else tuple(wl.shape)),
+                    ea_args, {}, ea_args, {})
                 uses[src_rnd] -= 1
                 if uses[src_rnd] == 0:
                     schur[src_rnd] = None   # free device memory eagerly...
@@ -1852,10 +1864,13 @@ class JaxMultifrontal:
                 self._shmap_cache[key] = fn
             self.shmap_rounds += 1
             return fn(F, p_arr, jnp.asarray(self._tau, F.dtype))
-        return _partial_factor(F, P=plan.P, p_arr=p_arr, tau=self._tau,
-                               use_pallas=self._use_pallas,
-                               allow_native_lu=self.mesh is None,
-                               pack_bs=self._pack_bs)
+        return self._aot_call(
+            ("pf", plan.B, plan.P, plan.N),
+            (F,), dict(P=plan.P, p_arr=p_arr, tau=self._tau,
+                       use_pallas=self._use_pallas,
+                       allow_native_lu=self.mesh is None,
+                       pack_bs=self._pack_bs),
+            (F,), dict(p_arr=p_arr, tau=self._tau))
 
     def _factor_dispatch(self, matrix: SparseMatrix) -> None:
         # sentinel zero at the end: padded a_src entries contribute nothing
@@ -1922,10 +1937,17 @@ class JaxMultifrontal:
         only when the sequential dependency walk first reaches it. On a
         remote-tunneled TPU each compile is an RPC to the server's
         compiler, so a thread pool overlaps them nearly perfectly
-        (compilation releases the GIL); the compiled executables land in
-        the persistent cache (jax_compilation_cache_dir), which the
-        factor loop's ordinary jit calls then hit. Best-effort: any
-        failure falls back to the normal compile-on-first-use path.
+        (compilation releases the GIL). Best-effort: any failure falls
+        back to the normal compile-on-first-use path.
+
+        The compiled EXECUTABLES are kept (self._aot) and the factor
+        loop calls them directly: `fn.lower().compile()` does NOT
+        populate the jit call cache, so without this the dispatch walk
+        re-"compiles" every shape — and on a remote-tunneled TPU even a
+        persistent-cache HIT costs ~3-7 s of executable deserialization
+        + device-load RPC per shape (measured round 4: the warm gx3 f64
+        dispatch spent ~250 s re-loading the exact executables the
+        42 s precompile had just built; 45 shapes x ~5 s, serial).
 
         Single-device only (mesh programs carry shardings the AOT
         signatures here don't reproduce) and TPU only (XLA:CPU compiles
@@ -1966,21 +1988,42 @@ class JaxMultifrontal:
                       pack_bs=self._pack_bs)))
 
         def compile_one(item):
-            fn, args, kwargs = item
+            key, (fn, args, kwargs) = item
             # the same jit objects + matmul-precision context as the real
             # calls, so the lowered HLO (and its cache key) is identical
             with jax.default_matmul_precision("highest"):
-                fn.lower(*args, **kwargs).compile()
+                return key, fn.lower(*args, **kwargs).compile()
 
+        self._aot = {}
         with timed(f"precompile {len(jobs)} kernel shapes"):
             with cf.ThreadPoolExecutor(max_workers=16) as ex:
-                futs = [ex.submit(compile_one, j) for j in jobs.values()]
+                futs = [ex.submit(compile_one, j) for j in jobs.items()]
                 for f in futs:
                     try:
-                        f.result()
+                        key, exe = f.result()
+                        self._aot[key] = exe
                     except Exception as e:  # noqa: BLE001 best-effort
                         dbg(1, f"precompile miss (will compile inline): "
                                f"{type(e).__name__}: {e}")
+
+    def _aot_call(self, key, jit_args, jit_kwargs, aot_args, aot_kwargs):
+        """Call the AOT-precompiled executable for `key` when one exists
+        (dynamic args only — statics were baked at lowering), else the
+        ordinary jit path. An AOT signature mismatch demotes that key
+        permanently and falls back, so a drifting call convention can
+        cost correctness nothing (it surfaces as the old speed)."""
+        aot = getattr(self, "_aot", None)
+        exe = aot.get(key) if aot else None
+        if exe is not None:
+            try:
+                return exe(*aot_args, **aot_kwargs)
+            except Exception as e:  # noqa: BLE001 — fall back to jit
+                dbg(1, f"aot call fallback for {key[0]}{key[1:]}: "
+                       f"{type(e).__name__}: {e}")
+                aot.pop(key, None)
+        fn = key[0]
+        with jax.default_matmul_precision("highest"):
+            return _AOT_FNS[fn](*jit_args, **jit_kwargs)
 
     def refactor(self, matrix: SparseMatrix) -> None:
         """New numeric values, same pattern (Newton-iteration reuse)."""
