@@ -417,6 +417,31 @@ def _assemble(nzval_ext, a_col, a_csrc, a_pos, a_src, p_arr,
         ri = jnp.arange(R, dtype=jnp.int32)[None, :, None]
         F = jnp.zeros((B, R, N), nzval_ext.dtype).at[
             bi, ri, a_col].add(vals, mode="promise_in_bounds")
+    elif (nzval_ext.dtype == jnp.float64
+          and (jax.default_backend() != "cpu"
+               # "force": run the split path on CPU so the test suite
+               # can prove its bit-exactness without a chip
+               or _os.environ.get("NK_ASM_F64_SPLIT") == "force")
+          and _os.environ.get("NK_ASM_F64_SPLIT", "1") != "0"):
+        # float64 on TPU: the compare/select/reduce in EMULATED f64 pays
+        # ~5-10x f32 per pass. Each (b, r, n) cell receives at most ONE
+        # contribution (front columns are unique per row; ELL pads add
+        # exact 0.0 to column 0), so the reduce is pure SELECTION — run
+        # it as three f32 passes over an exact hi/mid/lo mantissa split
+        # (3 x 24 >= 53 bits) and reassemble in f64: bit-equal to the
+        # f64 pass, at f32 cost. Same trick as _extend_add's wave path.
+        ar_n = jnp.arange(N, dtype=a_col.dtype)
+        hit = a_col[:, :, :, None] == ar_n
+        vh = vals.astype(jnp.float32)
+        r1 = vals - vh.astype(vals.dtype)
+        vm = r1.astype(jnp.float32)
+        vl = (r1 - vm.astype(vals.dtype)).astype(jnp.float32)
+        z32 = jnp.zeros((), jnp.float32)
+        Fh = jnp.sum(jnp.where(hit, vh[:, :, :, None], z32), axis=2)
+        Fm = jnp.sum(jnp.where(hit, vm[:, :, :, None], z32), axis=2)
+        Fl = jnp.sum(jnp.where(hit, vl[:, :, :, None], z32), axis=2)
+        F = (Fh.astype(jnp.float64) + Fm.astype(jnp.float64)) \
+            + Fl.astype(jnp.float64)
     else:
         ar_n = jnp.arange(N, dtype=a_col.dtype)
         F = jnp.sum(jnp.where(a_col[:, :, :, None] == ar_n,
@@ -502,15 +527,18 @@ def _extend_add(F, S_src, src_slots, dst_slots, inv, wlinks=None):
     # several GB on top of the resident factors
     Lc = _ea_chunk_len(N, Mp1, F.dtype.itemsize)
     f64_tpu = F.dtype.itemsize == 8 and not on_cpu
+    # NK_EA_FORCE_WAVES=1 (trace-time): run the wave formulation even on
+    # CPU so its exactness is provable in the (CPU-only) test suite
+    force_waves = _os.environ.get("NK_EA_FORCE_WAVES") == "1"
     for lo in range(0, L, Lc):
         hi = min(lo + Lc, L)
         iv = inv[lo:hi]
         G = Sp[src_slots[lo:hi]]
         rows = jax.vmap(lambda g, i: g[i])(G, iv)        # (Lc, N, M+1)
-        if on_cpu:
+        if on_cpu and not (force_waves and wlinks is not None):
             idx = jnp.broadcast_to(iv[:, None, :], (hi - lo, N, N))
             adds = jnp.take_along_axis(rows, idx, axis=2)
-        elif f64_tpu and wlinks is not None:
+        elif (f64_tpu or force_waves) and wlinks is not None:
             # float64 on TPU, formulated ENTIRELY as native-f32 one-hot
             # GEMMs — every step is pure SELECTION (one unit coefficient
             # per output element, no accumulation), which is exact in any
@@ -1052,6 +1080,23 @@ def _partial_factor_body(F, P: int, p_arr, tau=0.0, use_pallas: bool = False,
                                                 interpret=pallas_interpret)
             else:
                 Pan, piv = _pivoted_panel(Pan, off, p_arr, tau)
+        elif use_pallas and F.dtype == jnp.float64:
+            # production-precision panel (VERDICT round-3 item 4): the
+            # double-f32 Pallas kernel — ~2^-48 working precision, VMEM-
+            # resident across the T column steps — replaces the XLA f64
+            # panel loop (pf was 36% of the synced gx3 f64 factor). The
+            # hi/lo split is exact (Ruiz equilibration keeps values in
+            # f32's exponent range); refinement absorbs the 5-bit gap.
+            from .pallas_kernels import (pallas_pivoted_panel_df64,
+                                         panel_fits_vmem_df64)
+            if panel_fits_vmem_df64(R, T):
+                hi = Pan.astype(jnp.float32)
+                lo = (Pan - hi.astype(jnp.float64)).astype(jnp.float32)
+                oh, ol, piv = pallas_pivoted_panel_df64(
+                    hi, lo, off, p_arr, tau, interpret=pallas_interpret)
+                Pan = oh.astype(jnp.float64) + ol.astype(jnp.float64)
+            else:
+                Pan, piv = _pivoted_panel(Pan, off, p_arr, tau)
         else:
             Pan, piv = _pivoted_panel(Pan, off, p_arr, tau)
         pperm = _seq_to_perm(piv, R)
@@ -1255,11 +1300,17 @@ class JaxMultifrontal:
         # shard_map path on simulated CPU meshes (interpret-mode Pallas)
         # so tests can exercise it without hardware.
         # NK_PALLAS=0 is the kill switch (falls back to the XLA
-        # formulation) — first used to bisect a chip-side miscompile
+        # formulation) — first used to bisect a chip-side miscompile.
+        # float64 engines use the double-f32 panel kernel (the dtype
+        # dispatch lives in _partial_factor_body); NK_PALLAS_DF64=0
+        # disables just that one while keeping the f32 kernel.
         pallas_ok = _os.environ.get("NK_PALLAS", "1") != "0"
+        if (self.prec == jnp.float64
+                and _os.environ.get("NK_PALLAS_DF64", "1") == "0"):
+            pallas_ok = False
         self._use_pallas = (jax.default_backend() == "tpu" and pallas_ok
-                            and mesh is None and self.prec == jnp.float32)
-        self._pallas_shmap = (mesh is not None and self.prec == jnp.float32
+                            and mesh is None)
+        self._pallas_shmap = (mesh is not None
                               and pallas_ok
                               and (jax.default_backend() == "tpu"
                                    or _os.environ.get(
@@ -1510,7 +1561,10 @@ class JaxMultifrontal:
                 "onehot" if jax.default_backend() == "tpu" else "scatter")
             if (asm_impl == "pallas"
                     and not (self._use_pallas
+                             and self.prec == jnp.float32
                              and ell_fits_vmem(p.N, p.a_col.shape[2]))):
+                # the ELL kernel computes in f32 — never let a float64
+                # engine's values round-trip through it
                 asm_impl = "scatter"
             own_rb = None
             if big and p.B * p.P >= max(n // 8, 1):

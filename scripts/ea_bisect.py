@@ -106,18 +106,23 @@ def run_stage(stage: int, B: int, N: int, Mp1: int, L: int, W: int,
         out = _extend_add(F, jnp.asarray(S_src), jnp.asarray(ss),
                           jnp.asarray(ds), jnp.asarray(iv), jnp.asarray(wl))
         out = np.asarray(out)
-        # exactness: every step of the wave path is pure selection, so
-        # the result must be BIT-EQUAL to the numpy reference
+        # every step of the wave path is pure selection, so against IEEE
+        # f64 the result is BIT-EQUAL (proven on CPU by
+        # tests/test_extend_add.py). XLA:TPU's EMULATED f64 is not
+        # bit-identical IEEE (measured 2026-08-19: max abs 4.8e-13 on
+        # O(50) values, ~1e-14 relative, from the emulated adds) — on
+        # chip this check is a tight tolerance, not bit equality.
         Spn = np.pad(S_src, ((0, 0), (0, 1), (0, 1)))
         ref = np.zeros((B, N, N))
         for l in range(L):
             ref[ds[l]] += Spn[ss[l]][iv[l]][:, iv[l]]
-        nbad = int((out != ref).sum())
-        if nbad:
-            print(f"stage5 VALUE MISMATCH: {nbad}/{ref.size} elems, "
-                  f"max abs {np.abs(out - ref).max():.3e}", flush=True)
+        scale = max(np.abs(ref).max(), 1.0)
+        err = np.abs(out - ref).max() / scale
+        if err > 1e-12:
+            print(f"stage5 VALUE MISMATCH: max rel {err:.3e}", flush=True)
             raise SystemExit(3)
-        print(f"stage5 ok bit-exact sum={float(out.sum()):.3e}", flush=True)
+        print(f"stage5 ok max_rel={err:.3e} sum={float(out.sum()):.3e}",
+              flush=True)
         return
 
     Sp = jnp.pad(jnp.asarray(S_src), ((0, 0), (0, 1), (0, 1)))

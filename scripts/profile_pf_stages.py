@@ -1,0 +1,115 @@
+"""Micro-profile of the f64 partial-factor internals on the real chip.
+
+profile_f64_rounds.py attributes the gx3 f64 factor to asm/ea/pf; this
+drills into pf: at the hot round shapes, time (a) the sequential pivoted
+panel loop, (b) the TRSMs, (c) the trailing-update GEMM (_mm), each as
+its own jitted program, in f64 and f32. The ratio decides which of
+VERDICT round-3 items 3 (double-f32 GEMMs) and 4 (production-precision
+Pallas panel) buys the pf seconds.
+
+Usage: python scripts/profile_pf_stages.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+# (B, P, N) of the pf-heavy gx3 f64 rounds (profile_f64_rounds 2026-08-19:
+# rounds 1, 2, 5, 8, 11 = 8.9 + 6.0 + 15.2 + 13.1 + 12.3 of 70.5 s)
+SHAPES = [(256, 512, 1024), (384, 256, 512), (128, 512, 1280),
+          (16, 640, 2176), (2, 1664, 3072)]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_enable_x64", True)
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    from jax.lax.linalg import triangular_solve
+    from nk_ocn_tracer_jacobian_precond_tpu.solver.mf_jax import (
+        PANEL, _mm, _pivoted_panel)
+
+    def bench(fn, *args, n=3):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+            jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n
+
+    rng = np.random.default_rng(0)
+    for B, P, N in SHAPES:
+        nb = (P + PANEL - 1) // PANEL
+        for dt in (jnp.float64, jnp.float32):
+            Fh = rng.standard_normal((B, N, N))
+            F = jnp.asarray(Fh, dt)
+            p_arr = jnp.full((B,), P, jnp.int32)
+
+            # (a) panel loop alone: nb sequential pivoted panels
+            @jax.jit
+            def panels(F, p_arr):
+                outs = []
+                for t in range(nb):
+                    off = t * PANEL
+                    T = min(PANEL, P - off)
+                    R = P - off
+                    Pan = jax.lax.dynamic_slice(F, (0, off, off), (B, R, T))
+                    Pan, piv = _pivoted_panel(Pan, off, p_arr, tau=1e-8)
+                    outs.append((Pan.sum(), piv.sum()))
+                return outs
+
+            t_pan = bench(panels, F, p_arr)
+
+            # (b) TRSMs: one per panel against the full trailing width
+            @jax.jit
+            def trsms(F):
+                outs = []
+                for t in range(nb):
+                    off = t * PANEL
+                    T = min(PANEL, P - off)
+                    D = jax.lax.dynamic_slice(F, (0, off, off), (B, T, T))
+                    A12 = jax.lax.dynamic_slice(F, (0, off, off + T),
+                                                (B, T, N - off - T))
+                    outs.append(triangular_solve(
+                        D, A12, left_side=True, lower=True,
+                        unit_diagonal=True).sum())
+                return outs
+
+            t_trsm = bench(trsms, F)
+
+            # (c) trailing updates: the _mm sequence of the panel loop
+            @jax.jit
+            def trailing(F):
+                acc = jnp.zeros((), dt)
+                for t in range(nb):
+                    off = t * PANEL
+                    T = min(PANEL, P - off)
+                    rest = N - off - T
+                    if rest <= 0:
+                        continue
+                    Lr = jax.lax.dynamic_slice(F, (0, off + T, off),
+                                               (B, N - off - T, T))
+                    A12 = jax.lax.dynamic_slice(F, (0, off, off + T),
+                                                (B, T, rest))
+                    acc = acc + _mm(Lr, A12).sum()
+                return acc
+
+            t_tr = bench(trailing, F)
+            flops = 2 * B * sum(
+                (N - t * PANEL - min(PANEL, P - t * PANEL))
+                * min(PANEL, P - t * PANEL)
+                * (N - t * PANEL - min(PANEL, P - t * PANEL))
+                for t in range(nb))
+            print(f"B={B:4d} P={P:5d} N={N:5d} {np.dtype(dt).name:8s} "
+                  f"panels {t_pan:7.3f}s  trsm {t_trsm:7.3f}s  "
+                  f"trailing {t_tr:7.3f}s ({flops / max(t_tr, 1e-9) / 1e9:7.1f}"
+                  f" GF/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -69,3 +69,70 @@ def test_pallas_panel_factors_correctly():
 def test_vmem_gate():
     assert panel_fits_vmem(8192, 128)
     assert not panel_fits_vmem(8320, 128)
+
+
+# --------------------------------------------------------------------------
+# double-f32 (df64) panel — the float64 path's production panel kernel
+# --------------------------------------------------------------------------
+
+from nk_ocn_tracer_jacobian_precond_tpu.solver.pallas_kernels import (  # noqa: E402
+    pallas_pivoted_panel_df64, panel_fits_vmem_df64)
+
+
+def _split_hi_lo(x):
+    hi = x.astype(np.float32)
+    lo = (x - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
+@pytest.mark.parametrize("B,R,T,off", [
+    (4, 256, 128, 128),
+    (2, 128, 128, 0),
+])
+def test_df64_panel_backward_error(B, R, T, off):
+    """df64 elimination must land within its ~2^-48 working precision:
+    P A = L U to ~1e-12 absolute on O(1) data — 5 orders tighter than
+    the f32 kernel's envelope, ~1e3 looser than pure f64."""
+    rng = np.random.default_rng(3)
+    A0 = rng.standard_normal((B, R, T))
+    p_arr = np.linspace(off + 16, off + R, B).astype(np.int32)
+    hi, lo = _split_hi_lo(A0)
+    oh, ol, piv = pallas_pivoted_panel_df64(
+        jnp.asarray(hi), jnp.asarray(lo), off, jnp.asarray(p_arr),
+        tau=1e-8, interpret=True)
+    Pp = np.asarray(oh, np.float64) + np.asarray(ol, np.float64)
+    piv = np.asarray(piv)
+    for b in range(B):
+        A = A0[b].copy()
+        for k in range(T):
+            s = piv[b, k]
+            A[[k, s]] = A[[s, k]]
+        L = np.tril(Pp[b][:T], -1) + np.eye(T)
+        Lfull = np.vstack([L, Pp[b][T:]]) if R > T else L
+        U = np.triu(Pp[b][:T])
+        np.testing.assert_allclose(Lfull @ U, A, atol=1e-11)
+
+
+def test_df64_panel_pivots_match_f64_reference():
+    """On data whose pivot scores are f32-distinguishable, the df64
+    kernel makes the SAME pivot choices as the XLA f64 panel and its
+    factored panel agrees to df64 precision."""
+    rng = np.random.default_rng(4)
+    B, R, T = 2, 128, 64
+    A0 = rng.standard_normal((B, R, T)) * np.exp(
+        rng.uniform(-2, 2, (B, R, T)))
+    p_arr = np.array([R, 96], dtype=np.int32)
+    Px, piv_x = _pivoted_panel(jnp.asarray(A0), 0, jnp.asarray(p_arr),
+                               tau=1e-8)
+    hi, lo = _split_hi_lo(A0)
+    oh, ol, piv_d = pallas_pivoted_panel_df64(
+        jnp.asarray(hi), jnp.asarray(lo), 0, jnp.asarray(p_arr),
+        tau=1e-8, interpret=True)
+    assert np.array_equal(np.asarray(piv_x), np.asarray(piv_d))
+    Pd = np.asarray(oh, np.float64) + np.asarray(ol, np.float64)
+    np.testing.assert_allclose(Pd, np.asarray(Px), rtol=0, atol=1e-11)
+
+
+def test_df64_vmem_gate():
+    assert panel_fits_vmem_df64(4096, 128)
+    assert not panel_fits_vmem_df64(4224, 128)
