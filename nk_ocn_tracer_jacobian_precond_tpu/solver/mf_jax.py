@@ -431,17 +431,23 @@ def _assemble(nzval_ext, a_col, a_csrc, a_pos, a_src, p_arr,
         # (3 x 24 >= 53 bits) and reassemble in f64: bit-equal to the
         # f64 pass, at f32 cost. Same trick as _extend_add's wave path.
         ar_n = jnp.arange(N, dtype=a_col.dtype)
-        hit = a_col[:, :, :, None] == ar_n
         vh = vals.astype(jnp.float32)
         r1 = vals - vh.astype(vals.dtype)
         vm = r1.astype(jnp.float32)
         vl = (r1 - vm.astype(vals.dtype)).astype(jnp.float32)
         z32 = jnp.zeros((), jnp.float32)
-        Fh = jnp.sum(jnp.where(hit, vh[:, :, :, None], z32), axis=2)
-        Fm = jnp.sum(jnp.where(hit, vm[:, :, :, None], z32), axis=2)
-        Fl = jnp.sum(jnp.where(hit, vl[:, :, :, None], z32), axis=2)
-        F = (Fh.astype(jnp.float64) + Fm.astype(jnp.float64)) \
-            + Fl.astype(jnp.float64)
+
+        def sel(v):
+            # compare recomputed PER component: a shared (B, R, W, N)
+            # bool tensor has three consumers and XLA materializes it
+            # (3.6 GB at the biggest gx3 round — the refactor-path OOM,
+            # 2026-08-19); one consumer each keeps it fused
+            return jnp.sum(jnp.where(a_col[:, :, :, None] == ar_n,
+                                     v[:, :, :, None], z32), axis=2)
+
+        F = sel(vh).astype(jnp.float64)
+        F = F + sel(vm).astype(jnp.float64)
+        F = F + sel(vl).astype(jnp.float64)
     else:
         ar_n = jnp.arange(N, dtype=a_col.dtype)
         F = jnp.sum(jnp.where(a_col[:, :, :, None] == ar_n,
@@ -467,6 +473,19 @@ def _ea_chunk_len(N: int, Mp1: int, itemsize: int) -> int:
     """Link-chunk length of _extend_add's temporaries (~0.5 GB) — shared
     with the host-side wave-constant builder so chunk boundaries agree."""
     return max(1, int(5e8 / (itemsize * N * Mp1)))
+
+
+def _ea_chunk_len_waves(N: int, Mp1: int) -> int:
+    """Link-chunk length for the WAVE formulation, whose dominant
+    temporaries differ from the default path's: three f32 (Lc+1, N*N)
+    column-selected component stacks plus the (Lc, N, Mp1) f64 row
+    gather and its three f32 splits. Bounds their sum to ~0.7 GB —
+    the 0.5 GB law sized only the (Lc, N, Mp1) rows and OOM'd the chip
+    at tree-top N (measured gx3 f64 cold factor, 2026-08-19). Shared
+    by _device_constants (wave-constant builder) and _extend_add so
+    chunk boundaries agree."""
+    per_link = 3 * 4 * N * N + N * Mp1 * (8 + 12 + 4)
+    return max(1, int(7e8 / per_link))
 
 
 def _dst_gather_waves(ds: np.ndarray, B: int, Lc: int) -> np.ndarray:
@@ -525,11 +544,13 @@ def _extend_add(F, S_src, src_slots, dst_slots, inv, wlinks=None):
     # chunk over links so the (Lc, N, M+1) temporaries stay bounded
     # (~0.5 GB) — at gx3deep-scale rounds the unchunked temporaries were
     # several GB on top of the resident factors
-    Lc = _ea_chunk_len(N, Mp1, F.dtype.itemsize)
     f64_tpu = F.dtype.itemsize == 8 and not on_cpu
     # NK_EA_FORCE_WAVES=1 (trace-time): run the wave formulation even on
     # CPU so its exactness is provable in the (CPU-only) test suite
     force_waves = _os.environ.get("NK_EA_FORCE_WAVES") == "1"
+    Lc = (_ea_chunk_len_waves(N, Mp1)
+          if wlinks is not None and (f64_tpu or force_waves)
+          else _ea_chunk_len(N, Mp1, F.dtype.itemsize))
     for lo in range(0, L, Lc):
         hi = min(lo + Lc, L)
         iv = inv[lo:hi]
@@ -573,6 +594,35 @@ def _extend_add(F, S_src, src_slots, dst_slots, inv, wlinks=None):
             al = al.reshape(al.shape[0], N * N)
             wl = wlinks[lo // Lc]
             NN = N * N
+            if _os.environ.get("NK_EA_DST", "gather") == "gather":
+                # destination placement as a LEADING-AXIS f32 gather:
+                # wlinks[w] maps each dst slot b to its w-th link (or the
+                # zero-pad row) — the inverse map _dst_gather_waves built.
+                # Cost is the movement-optimal B*NN per wave/component,
+                # vs the one-hot GEMM's B*(Lc+1)*NN MXU flops (the GEMM
+                # form predates the wave constants and is kept as
+                # NK_EA_DST=gemm for bisects). f32 leading-axis gathers
+                # are the proven class (the f32 production path's row
+                # gathers); it was the F64 (Lc,N,N) gather that faulted
+                # the worker. The wave loop runs as a fori_loop: unrolled,
+                # XLA:TPU hoisted every wave's (B, NN) gather temps and
+                # the COMPILE demanded 17.3 GB HBM (2026-08-19); the loop
+                # body bounds temps to one wave's working set.
+                wlj = jnp.asarray(wl)
+
+                def wave_body(w, Fc):
+                    idx = jax.lax.dynamic_index_in_dim(wlj, w, axis=0,
+                                                       keepdims=False)
+                    gh = ah[idx]                         # (B, NN) f32
+                    gm = am[idx]
+                    gl = al[idx]
+                    # (hi + mid) + lo: disjoint mantissa ranges — exact
+                    upd = ((gh.astype(F.dtype) + gm.astype(F.dtype))
+                           + gl.astype(F.dtype))
+                    return Fc + upd.reshape(Fc.shape)
+
+                F = jax.lax.fori_loop(0, wl.shape[0], wave_body, F)
+                continue
             CH = 1 << 21    # 2M-column chunks: one monolithic f32 GEMM
             #                 with 8.7M output columns faulted the worker
             for w in range(wl.shape[0]):
@@ -1589,9 +1639,8 @@ class JaxMultifrontal:
                          self._put(g.dst_slots, None), self._put(g.inv, None),
                          self._put(_dst_gather_waves(
                              g.dst_slots, p.B,
-                             _ea_chunk_len(
-                                 p.N, self.plans[g.src_round].M + 1,
-                                 np.dtype(self.prec).itemsize)), None)
+                             _ea_chunk_len_waves(
+                                 p.N, self.plans[g.src_round].M + 1)), None)
                          # the f32-pair wave formulation crashes the TPU
                          # worker at gx3-class shapes (kernel fault, 3
                          # reproductions 2026-08-19); opt-in until the

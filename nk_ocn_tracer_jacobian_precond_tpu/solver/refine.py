@@ -372,7 +372,6 @@ class DeviceRefiner:
         are created here (main thread) and only lowered/compiled in the
         background, so the solve loop reuses the same in-memory caches;
         failures just fall back to compile-on-first-use."""
-        import concurrent.futures as cf
         if (jax.default_backend() != "tpu"
                 or getattr(self, "_prefetched", None) == padn):
             return
@@ -386,6 +385,18 @@ class DeviceRefiner:
         jobs.append((eng._solve_jit[padn],
                      (sd((eng.flat_len + 1, padn), eng.prec), eng.factors,
                       eng._flatten_consts())))
+        if eng.prec == jnp.float64:
+            # float64 engines converge under plain IR (raw apply error
+            # ~2^-48 x growth; measured gx3: 1e-7 raw -> 3e-12 in two
+            # outers). The fused-GMRES/polish programs embed the full
+            # f64 multifrontal solve, whose emulated-f64 dot temps make
+            # the COMPILE demand ~19 GB HBM at gx3 scale (2026-08-19,
+            # 'Ran out of memory in memory space hbm ... jit(cycle)') —
+            # don't burn cold-time compiling programs the f64 path
+            # neither needs nor can place; first use compiles inline,
+            # and the dispatch sites fail soft.
+            self._run_prefetch(jobs)
+            return
         env32 = self._env(jnp.float32)
         for m_t in {self._m, min(2 * self._m, self.m)}:
             key = (m_t, padn, "gmres")
@@ -401,6 +412,11 @@ class DeviceRefiner:
                                                      dtype=jnp.float32)
         jobs.append((self._cycle_jit[ckey],
                      (sd((self.n, padn), jnp.float32), env32)))
+        self._run_prefetch(jobs)
+
+    @staticmethod
+    def _run_prefetch(jobs) -> None:
+        import concurrent.futures as cf
 
         def compile_one(job):
             fn, args = job
@@ -565,9 +581,19 @@ class DeviceRefiner:
                     if key not in self._cycle_jit:
                         self._cycle_jit[key] = self._make_cycle(
                             m_cur, padn, dtype=jnp.float32)
-                    d = self._cycle_jit[key](
-                        put(R.astype(np.float32), None),
-                        self._env(jnp.float32))
+                    try:
+                        d = self._cycle_jit[key](
+                            put(R.astype(np.float32), None),
+                            self._env(jnp.float32))
+                    except jax.errors.JaxRuntimeError as e:
+                        # f64 engines at scale: the cycle program embeds
+                        # the f64 solve and may not COMPILE within HBM
+                        # (emulated-f64 dot temp law) — return the best
+                        # plain-IR iterate instead of crashing the solve
+                        dbg(1, f"refine: polish program unavailable "
+                               f"({type(e).__name__}) — returning best "
+                               f"IR iterate {rel_best:.3e}")
+                        break
                     X = X + np.asarray(d, dtype=np.float64)
                     Xd = None
                 else:
@@ -593,8 +619,18 @@ class DeviceRefiner:
                     if Xd is None:
                         Xd = (jnp.zeros_like(Bd) if not X.any()
                               else put(X, None))
-                    Xd, rel_est, k = self._fused_jit[key](
-                        Bd, Xd, self._env(jdt), self.tol)
+                    try:
+                        Xd, rel_est, k = self._fused_jit[key](
+                            Bd, Xd, self._env(jdt), self.tol)
+                    except jax.errors.JaxRuntimeError as e:
+                        # see the polish branch: fail soft when the fused
+                        # program cannot compile/place at this scale (the
+                        # polish program embeds the same solve and would
+                        # fail the same way)
+                        dbg(1, f"refine: fused program unavailable "
+                               f"({type(e).__name__}) — returning best "
+                               f"iterate {rel_best:.3e}")
+                        break
                     X = np.asarray(Xd, dtype=np.float64)
                     fused_stalled = (int(k) < self.max_cycles
                                      and float(rel_est) > self.tol)

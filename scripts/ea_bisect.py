@@ -40,7 +40,7 @@ def plan_shapes(size: str):
     from nk_ocn_tracer_jacobian_precond_tpu.solver.checkpoint import (
         load_symbolic, save_symbolic)
     from nk_ocn_tracer_jacobian_precond_tpu.solver.mf_jax import (
-        _ea_chunk_len, _dst_gather_waves, build_plan)
+        _ea_chunk_len_waves, _dst_gather_waves, build_plan)
     from nk_ocn_tracer_jacobian_precond_tpu.solver.symbolic import (
         symbolic_from_matrix)
     cache = os.path.join(os.path.dirname(__file__), "..", ".bench_cache")
@@ -57,7 +57,7 @@ def plan_shapes(size: str):
         for g in p.child_groups:
             Mp1 = plans[g.src_round].M + 1
             L = len(g.dst_slots)
-            Lc = _ea_chunk_len(p.N, Mp1, 8)
+            Lc = _ea_chunk_len_waves(p.N, Mp1)
             wl = _dst_gather_waves(g.dst_slots, p.B, Lc)
             shapes.append(dict(rnd=rnd, B=int(p.B), N=int(p.N),
                                Mp1=int(Mp1), L=int(L), Lc=int(Lc),
@@ -74,10 +74,10 @@ def run_stage(stage: int, B: int, N: int, Mp1: int, L: int, W: int,
     jax.config.update("jax_enable_x64", True)
     assert jax.default_backend() == "tpu", jax.default_backend()
     from nk_ocn_tracer_jacobian_precond_tpu.solver.mf_jax import (
-        _ea_chunk_len, _dst_gather_waves, _extend_add, _mm_raw)
+        _ea_chunk_len_waves, _dst_gather_waves, _extend_add, _mm_raw)
 
     rng = np.random.default_rng(0)
-    Lc = _ea_chunk_len(N, Mp1, 8)
+    Lc = _ea_chunk_len_waves(N, Mp1)
     Lc_eff = min(Lc, L)
     ss = (np.arange(L, dtype=np.int64) * 2654435761 % Sb).astype(np.int32)
     # dst pattern forcing exactly W duplicate waves per chunk: cycle dst

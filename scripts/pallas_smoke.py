@@ -40,7 +40,7 @@ def main() -> int:
         return 2
 
     from nk_ocn_tracer_jacobian_precond_tpu.solver.pallas_kernels import (
-        pallas_ell_assemble, pallas_pivoted_panel)
+        pallas_ell_assemble, pallas_pivoted_panel, pallas_pivoted_panel_df64)
 
     rng = np.random.default_rng(11)
     failures = []
@@ -67,6 +67,32 @@ def main() -> int:
     if err > 1e-5 * scale:
         failures.append(f"pivoted_panel: values differ, max abs {err:.3e}")
     print(f"pallas-smoke: pivoted_panel ok (max abs diff {err:.1e})",
+          flush=True)
+
+    # --- double-f32 pivoted panel (the float64 path's panel kernel) -----
+    A64 = rng.standard_normal((B, R, T))
+    hi64 = jnp.asarray(A64.astype(np.float32))
+    lo64 = jnp.asarray((A64 - np.asarray(hi64, np.float64))
+                       .astype(np.float32))
+    print("pallas-smoke: pivoted_panel_df64 (compiled) ...", flush=True)
+    dh_c, dl_c, dpiv_c = pallas_pivoted_panel_df64(
+        hi64, lo64, 0, jnp.asarray(p_arr), tau=1e-8)
+    d_c = np.asarray(dh_c, np.float64) + np.asarray(dl_c, np.float64)
+    dpiv_c = np.asarray(dpiv_c)
+    print("pallas-smoke: pivoted_panel_df64 (interpret) ...", flush=True)
+    dh_i, dl_i, dpiv_i = pallas_pivoted_panel_df64(
+        hi64, lo64, 0, jnp.asarray(p_arr), tau=1e-8, interpret=True)
+    d_i = np.asarray(dh_i, np.float64) + np.asarray(dl_i, np.float64)
+    if not np.array_equal(dpiv_c, np.asarray(dpiv_i)):
+        failures.append("pivoted_panel_df64: pivot choices differ "
+                        f"({int((dpiv_c != np.asarray(dpiv_i)).sum())}"
+                        f" of {dpiv_c.size})")
+    err = np.max(np.abs(d_c - d_i))
+    scale = max(1.0, float(np.max(np.abs(d_i))))
+    if err > 1e-10 * scale:   # df64 working precision, not f32
+        failures.append(f"pivoted_panel_df64: values differ, "
+                        f"max abs {err:.3e}")
+    print(f"pallas-smoke: pivoted_panel_df64 ok (max abs diff {err:.1e})",
           flush=True)
 
     # --- ELL gather-form front assembly ---------------------------------

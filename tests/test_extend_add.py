@@ -21,7 +21,7 @@ import pytest
 import jax.numpy as jnp
 
 from nk_ocn_tracer_jacobian_precond_tpu.solver.mf_jax import (
-    _dst_gather_waves, _ea_chunk_len, _extend_add)
+    _dst_gather_waves, _ea_chunk_len_waves, _extend_add)
 
 
 def _synthetic(B, N, M, Sb, L, seed=0):
@@ -57,7 +57,7 @@ def test_wave_extend_add_bit_exact(B, N, M, Sb, L, monkeypatch):
     np.testing.assert_array_equal(out_def, ref)
 
     # wave path: the exact trace the f64-on-TPU production factor runs
-    Lc = _ea_chunk_len(N, M + 1, 8)
+    Lc = _ea_chunk_len_waves(N, M + 1)
     wl = _dst_gather_waves(ds, B, Lc)
     monkeypatch.setenv("NK_EA_FORCE_WAVES", "1")
     _extend_add.clear_cache()   # force_waves is read at trace time
