@@ -485,7 +485,8 @@ def _ea_chunk_len_waves(N: int, Mp1: int) -> int:
     by _device_constants (wave-constant builder) and _extend_add so
     chunk boundaries agree."""
     per_link = 3 * 4 * N * N + N * Mp1 * (8 + 12 + 4)
-    return max(1, int(7e8 / per_link))
+    budget = float(_os.environ.get("NK_EA_WAVE_BUDGET", "2.5e8"))
+    return max(1, int(budget / per_link))
 
 
 def _dst_gather_waves(ds: np.ndarray, B: int, Lc: int) -> np.ndarray:
@@ -2098,16 +2099,43 @@ class JaxMultifrontal:
                 return key, fn.lower(*args, **kwargs).compile()
 
         self._aot = {}
+        # bounded wait: a remote-compile RPC can die mid-read and never
+        # return (measured 2026-08-19: one hung future stalled the whole
+        # precompile >25 min while the tunnel itself was healthy). After
+        # the deadline, take what finished — stragglers keep compiling in
+        # their (daemon-irrelevant) threads and later dispatches pick the
+        # executables up if they land, else compile inline.
+        deadline = float(_os.environ.get("NK_PRECOMPILE_TIMEOUT", "900"))
+
         with timed(f"precompile {len(jobs)} kernel shapes"):
-            with cf.ThreadPoolExecutor(max_workers=16) as ex:
-                futs = [ex.submit(compile_one, j) for j in jobs.items()]
-                for f in futs:
-                    try:
-                        key, exe = f.result()
-                        self._aot[key] = exe
-                    except Exception as e:  # noqa: BLE001 best-effort
-                        dbg(1, f"precompile miss (will compile inline): "
-                               f"{type(e).__name__}: {e}")
+            ex = cf.ThreadPoolExecutor(max_workers=16)
+            futs = {ex.submit(compile_one, j): j[0] for j in jobs.items()}
+            done, pending = cf.wait(futs, timeout=deadline)
+            for f in done:
+                try:
+                    key, exe = f.result()
+                    self._aot[key] = exe
+                except Exception as e:  # noqa: BLE001 best-effort
+                    dbg(1, f"precompile miss (will compile inline): "
+                           f"{type(e).__name__}: {e}")
+            if pending:
+                dbg(1, f"precompile deadline ({deadline:.0f}s): "
+                       f"{len(pending)} shapes still compiling — "
+                       f"continuing with {len(self._aot)} ready")
+
+                def _collect_late(fs=pending):
+                    for f in fs:
+                        try:
+                            key, exe = f.result()
+                            self._aot[key] = exe
+                        except Exception:  # noqa: BLE001
+                            pass
+                    ex.shutdown(wait=False)
+
+                import threading
+                threading.Thread(target=_collect_late, daemon=True).start()
+            else:
+                ex.shutdown(wait=False)
 
     def _aot_call(self, key, jit_args, jit_kwargs, aot_args, aot_kwargs):
         """Call the AOT-precompiled executable for `key` when one exists
