@@ -194,7 +194,20 @@ def run_stage(stage: int, B: int, N: int, Mp1: int, L: int, W: int,
     print(f"stage4 ok sum={float(F.sum()):.3e}", flush=True)
 
 
-def orchestrate(size: str) -> int:
+def run_all5(classes) -> None:
+    """Child: stage 5 (the full wave _extend_add) for EVERY class in one
+    process, largest first — one jax init + one persistent-cache warm
+    pass instead of 21. A worker fault kills this child; the orchestrator
+    reads the last OK line to know which class faulted and falls back to
+    the per-class bisect from there."""
+    for i, s in enumerate(classes):
+        print(f"all5 {i + 1}/{len(classes)}: B={s['B']} N={s['N']} "
+              f"Mp1={s['Mp1']} L={s['L']} W={s['W']}", flush=True)
+        run_stage(5, s["B"], s["N"], s["Mp1"], s["L"], s["W"], s["Sb"])
+        print(f"all5 {i + 1} OK", flush=True)
+
+
+def _classes(size: str):
     shapes = plan_shapes(size)
     # dedupe into classes, largest output first
     seen = {}
@@ -205,14 +218,51 @@ def orchestrate(size: str) -> int:
                      key=lambda s: -(s["B"] * s["N"] * s["N"]))
     print(f"{len(shapes)} group instances -> {len(classes)} shape classes",
           flush=True)
+    return classes
+
+
+def orchestrate(size: str) -> int:
+    classes = _classes(size)
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.expanduser("~/.nk_tpu_jax_cache"))
+    # fast path: every class's full formulation in ONE child
+    import json as _json
+    cmd = [sys.executable, __file__, "--all5", size]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=7200,
+                       env=env, input=_json.dumps(classes))
+    sys.stdout.write(r.stdout)
+    if r.returncode == 0:
+        print(_json.dumps(dict(classes=len(classes), failures=[],
+                               mode="all5")), flush=True)
+        return 0
+    n_ok = r.stdout.count(" OK")
+    print(f"all5 child rc={r.returncode} after {n_ok}/{len(classes)} "
+          f"classes; stderr tail: {r.stderr[-400:]!r}", flush=True)
+    print("falling back to per-class bisect from the faulting class",
+          flush=True)
+    classes = classes[n_ok:]
+    # children get the persistent compile cache (the engine sets it in
+    # JaxMultifrontal.__init__, which bisect children never construct)
+    # and one retry on failure: the remote-compile RPC flakes
+    # ("response body closed before all bytes were read", measured
+    # 2026-08-20) would otherwise read as kernel faults
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.expanduser("~/.nk_tpu_jax_cache"))
     results = []
     for s in classes:
         for stage in (5, 4, 3, 2, 1):
             cmd = [sys.executable, __file__, "--stage", str(stage),
                    str(s["B"]), str(s["N"]), str(s["Mp1"]), str(s["L"]),
                    str(s["W"]), str(s["Sb"])]
-            r = subprocess.run(cmd, capture_output=True, text=True,
-                               timeout=1200)
+            for attempt in range(2):
+                r = subprocess.run(cmd, capture_output=True, text=True,
+                                   timeout=1200, env=env)
+                if r.returncode == 0:
+                    break
+                print(f"  retry (attempt {attempt + 1} rc={r.returncode}) "
+                      f"err tail: {r.stderr[-160:]!r}", flush=True)
             ok = r.returncode == 0
             tag = (f"B={s['B']} N={s['N']} Mp1={s['Mp1']} L={s['L']} "
                    f"W={s['W']} stage={stage}")
@@ -237,6 +287,8 @@ if __name__ == "__main__":
             print(s)
     elif sys.argv[1] == "--stage":
         run_stage(*[int(x) for x in sys.argv[2:9]])
+    elif sys.argv[1] == "--all5":
+        run_all5(json.loads(sys.stdin.read()))
     elif sys.argv[1] == "--run":
         raise SystemExit(
             orchestrate(sys.argv[2] if len(sys.argv) > 2 else "gx3"))

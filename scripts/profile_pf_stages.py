@@ -31,7 +31,7 @@ def main():
     assert jax.default_backend() == "tpu", jax.default_backend()
     from jax.lax.linalg import triangular_solve
     from nk_ocn_tracer_jacobian_precond_tpu.solver.mf_jax import (
-        PANEL, _mm, _pivoted_panel)
+        PANEL, _mm, _mm_oz, _pack_diag_inv, _pivoted_panel)
 
     def bench(fn, *args, n=3):
         out = fn(*args)
@@ -100,6 +100,34 @@ def main():
                 return acc
 
             t_tr = bench(trailing, F)
+
+            # (d) trailing updates through the exact-slice bf16 GEMM
+            @jax.jit
+            def trailing_oz(F):
+                acc = jnp.zeros((), dt)
+                for t in range(nb):
+                    off = t * PANEL
+                    T = min(PANEL, P - off)
+                    rest = N - off - T
+                    if rest <= 0:
+                        continue
+                    Lr = jax.lax.dynamic_slice(F, (0, off + T, off),
+                                               (B, N - off - T, T))
+                    A12 = jax.lax.dynamic_slice(F, (0, off, off + T),
+                                                (B, T, rest))
+                    acc = acc + _mm_oz(Lr.astype(jnp.float64),
+                                       A12.astype(jnp.float64)).sum()
+                return acc
+
+            t_oz = bench(trailing_oz, F) if dt == jnp.float64 else 0.0
+
+            # (e) the solve-side pivot-block packing (full explicit
+            # inverse at gx3's adaptive pack_bs = maxP)
+            @jax.jit
+            def pack(F):
+                return _pack_diag_inv(F[:, :P, :P], P).sum()
+
+            t_pack = bench(pack, F)
             flops = 2 * B * sum(
                 (N - t * PANEL - min(PANEL, P - t * PANEL))
                 * min(PANEL, P - t * PANEL)
@@ -108,7 +136,9 @@ def main():
             print(f"B={B:4d} P={P:5d} N={N:5d} {np.dtype(dt).name:8s} "
                   f"panels {t_pan:7.3f}s  trsm {t_trsm:7.3f}s  "
                   f"trailing {t_tr:7.3f}s ({flops / max(t_tr, 1e-9) / 1e9:7.1f}"
-                  f" GF/s)", flush=True)
+                  f" GF/s)  oz {t_oz:7.3f}s "
+                  f"({flops / max(t_oz, 1e-9) / 1e9:7.1f} GF/s)  "
+                  f"pack {t_pack:7.3f}s", flush=True)
 
 
 if __name__ == "__main__":
