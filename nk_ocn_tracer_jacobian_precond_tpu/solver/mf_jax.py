@@ -595,20 +595,25 @@ def _extend_add(F, S_src, src_slots, dst_slots, inv, wlinks=None):
             al = al.reshape(al.shape[0], N * N)
             wl = wlinks[lo // Lc]
             NN = N * N
-            if _os.environ.get("NK_EA_DST", "gather") == "gather":
+            if _os.environ.get("NK_EA_DST", "gemm") == "gather":
                 # destination placement as a LEADING-AXIS f32 gather:
                 # wlinks[w] maps each dst slot b to its w-th link (or the
                 # zero-pad row) — the inverse map _dst_gather_waves built.
                 # Cost is the movement-optimal B*NN per wave/component,
-                # vs the one-hot GEMM's B*(Lc+1)*NN MXU flops (the GEMM
-                # form predates the wave constants and is kept as
-                # NK_EA_DST=gemm for bisects). f32 leading-axis gathers
-                # are the proven class (the f32 production path's row
-                # gathers); it was the F64 (Lc,N,N) gather that faulted
-                # the worker. The wave loop runs as a fori_loop: unrolled,
-                # XLA:TPU hoisted every wave's (B, NN) gather temps and
-                # the COMPILE demanded 17.3 GB HBM (2026-08-19); the loop
-                # body bounds temps to one wave's working set.
+                # vs the one-hot GEMM's B*(Lc+1)*NN MXU flops. NOT the
+                # default: the fori+gather composite HANGS the XLA:TPU
+                # remote compiler at the largest gx3 class (>14 min, two
+                # reproductions 2026-08-20, scripts/ea_bisect.py stage 5)
+                # — the GEMM form below compiles and runs at every class
+                # and its one-hot flops are noise on the MXU. Kept as
+                # NK_EA_DST=gather for when the compiler heals. f32
+                # leading-axis gathers are the proven-at-runtime class
+                # (the f32 production path's row gathers); it was the F64
+                # (Lc,N,N) gather that faulted the worker. The wave loop
+                # runs as a fori_loop: unrolled, XLA:TPU hoisted every
+                # wave's (B, NN) gather temps and the COMPILE demanded
+                # 17.3 GB HBM (2026-08-19); the loop body bounds temps to
+                # one wave's working set.
                 wlj = jnp.asarray(wl)
 
                 def wave_body(w, Fc):
@@ -1746,15 +1751,20 @@ class JaxMultifrontal:
                              g.dst_slots, p.B,
                              _ea_chunk_len_waves(
                                  p.N, self.plans[g.src_round].M + 1)), None)
-                         # the f32-pair wave formulation crashes the TPU
-                         # worker at gx3-class shapes (kernel fault, 3
-                         # reproductions 2026-08-19); opt-in until the
-                         # faulting kernel is isolated — without wave
-                         # constants _extend_add takes the (slower,
-                         # proven) chunked-f64 one-hot GEMM path
+                         # DEFAULT-ON (VERDICT round-4 item 1): the wave
+                         # formulation with the GEMM-form destination
+                         # (NK_EA_DST default) passed every gx3 shape
+                         # class on-chip (scripts/ea_bisect.py --run,
+                         # 2026-08-20) and replaces the ~10-20 GF/s
+                         # emulated-f64 one-hot GEMMs with native-f32
+                         # selection GEMMs. The round-3 worker fault was
+                         # the fori+GATHER destination composite (now
+                         # opt-in, see _extend_add). NK_EA_WAVES=0 is the
+                         # kill switch back to the chunked emulated-f64
+                         # path.
                          if (np.dtype(self.prec).itemsize == 8
                              and jax.default_backend() == "tpu"
-                             and _os.environ.get("NK_EA_WAVES") == "1")
+                             and _os.environ.get("NK_EA_WAVES", "1") == "1")
                          else None)
                         for g in p.child_groups]))
         return c

@@ -134,7 +134,7 @@ class StreamSolver:
 
 
 def stream_solve(matrix, maps, sym, ckpt_dir: str, B: np.ndarray,
-                 pack_bs: int = 128, refine_tol: float = 1e-11,
+                 pack_bs: int = 128, refine_tol: float = 1e-10,
                  max_iters: int = 8):
     """End-to-end out-of-core solve: equilibrate, validate the on-disk
     checkpoints against the matrix values, stream-apply, refine with

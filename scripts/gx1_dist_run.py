@@ -93,9 +93,13 @@ def main():
     # for comparison runs.
     prec = (jnp.float32 if os.environ.get("NK_RUN_PREC", "f64") == "f32"
             else jnp.float64)
+    # production refinement target = the residual contract (1e-10);
+    # round 4 measured a ~5e-11 plateau, so a 1e-11 target only buys
+    # wasted refinement outers (VERDICT round-4 item 5)
+    rtol = float(os.environ.get("NK_REFINE_TOL", "1e-10"))
     fac = MultifrontalFactorization(matrix, impl="jax", maps=maps, sym=sym,
                                     n_devices=ndev, precision=prec,
-                                    refine_tol=1e-11,
+                                    refine_tol=rtol,
                                     factor_checkpoint_dir=ckpt_dir or None)
     t_factor = time.perf_counter() - t0
     print(f"distributed factor {t_factor:.1f}s", flush=True)
@@ -109,7 +113,7 @@ def main():
     print(f"solve (no refine) {t_solve:.1f}s", flush=True)
 
     t0 = time.perf_counter()
-    X = iterative_refinement(fac.A, fac._precond_solve, B, X, tol=1e-11)
+    X = iterative_refinement(fac.A, fac._precond_solve, B, X, tol=rtol)
     rel = np.linalg.norm(fac.A @ X - B, axis=0) / np.linalg.norm(B, axis=0)
     if rel.max() > 1e-10:
         # float32 element growth stalls plain IR at depth: Krylov-
@@ -119,7 +123,7 @@ def main():
         # on the simulated mesh)
         print(f"plain IR stalled at {rel.max():.3e}; GMRES-IR", flush=True)
         X = fac._gmres_ir(B, X)
-        X = iterative_refinement(fac.A, fac._precond_solve, B, X, tol=1e-11)
+        X = iterative_refinement(fac.A, fac._precond_solve, B, X, tol=rtol)
         rel = (np.linalg.norm(fac.A @ X - B, axis=0)
                / np.linalg.norm(B, axis=0))
     t_ref = time.perf_counter() - t0

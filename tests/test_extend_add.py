@@ -44,9 +44,10 @@ def _oracle(B, N, S_src, ss, ds, iv):
     return ref
 
 
+@pytest.mark.parametrize("dst_form", ["gemm", "gather"])
 @pytest.mark.parametrize("B,N,M,Sb,L", [(6, 16, 24, 8, 13),
                                         (4, 8, 8, 4, 9)])
-def test_wave_extend_add_bit_exact(B, N, M, Sb, L, monkeypatch):
+def test_wave_extend_add_bit_exact(B, N, M, Sb, L, dst_form, monkeypatch):
     S_src, ss, ds, iv = _synthetic(B, N, M, Sb, L)
     ref = _oracle(B, N, S_src, ss, ds, iv)
 
@@ -56,10 +57,14 @@ def test_wave_extend_add_bit_exact(B, N, M, Sb, L, monkeypatch):
         jnp.asarray(ss), jnp.asarray(ds), jnp.asarray(iv), None))
     np.testing.assert_array_equal(out_def, ref)
 
-    # wave path: the exact trace the f64-on-TPU production factor runs
+    # wave path: the exact trace the f64-on-TPU production factor runs.
+    # Both destination placements must be bit-exact: the GEMM form is
+    # the TPU default (the gather composite hangs the remote compiler,
+    # ea_bisect 2026-08-20); gather stays as the opt-in fallback.
     Lc = _ea_chunk_len_waves(N, M + 1)
     wl = _dst_gather_waves(ds, B, Lc)
     monkeypatch.setenv("NK_EA_FORCE_WAVES", "1")
+    monkeypatch.setenv("NK_EA_DST", dst_form)
     _extend_add.clear_cache()   # force_waves is read at trace time
     try:
         out_wave = np.asarray(_extend_add(
@@ -68,6 +73,7 @@ def test_wave_extend_add_bit_exact(B, N, M, Sb, L, monkeypatch):
             jnp.asarray(wl)))
     finally:
         monkeypatch.delenv("NK_EA_FORCE_WAVES")
+        monkeypatch.delenv("NK_EA_DST")
         _extend_add.clear_cache()
     # pure selection at every step: BIT equality, not a tolerance
     np.testing.assert_array_equal(out_wave, ref)
