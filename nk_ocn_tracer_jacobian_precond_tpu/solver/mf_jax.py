@@ -896,22 +896,33 @@ def _mm_oz(a, b):
     # per-row / per-column power-of-two envelopes (exact scales)
     ea = jnp.max(jnp.abs(a), axis=2)                      # (B, M)
     eb = jnp.max(jnp.abs(b), axis=1)                      # (B, N)
-    # 2^ceil(log2 m): exponent arithmetic on the f64 bit pattern — exact,
-    # and much cheaper than emulated log2/exp2 on TPU. For m = 0 use 1.0.
+    # 2^ceil(log2 m) via exponent arithmetic on the FLOAT32 bit pattern.
+    # Not f64 bits: XLA:TPU represents f64 as an (hi, lo) f32 pair, and
+    # its X64-rewrite pass cannot lower a u64/f64 bitcast at all
+    # ("rewriting is not implemented", first on-chip compile 2026-08-20).
+    # The 1.00001 upward nudge covers the f64->f32 round-DOWN case
+    # (relative rounding <= 2^-24 << 1e-5); worst case the envelope
+    # doubles, costing ~1 of the ~56 slice bits. Contract: row/col
+    # maxima must sit inside f32's exponent range — guaranteed by Ruiz
+    # equilibration + bounded elimination growth, the same contract the
+    # df64 Pallas panel's hi/lo split already relies on. m = 0 -> 1.0.
     def env2(m):
-        bits = jax.lax.bitcast_convert_type(m, jnp.uint64)
-        expo = ((bits >> 52) & jnp.uint64(0x7FF)).astype(jnp.int64)
-        frac = bits & jnp.uint64((1 << 52) - 1)
-        # ceil: bump the exponent unless m is already a power of two
-        expo = expo + jnp.where(frac != 0, 1, 0)
-        pow2 = jax.lax.bitcast_convert_type(
-            (expo.astype(jnp.uint64) << 52), jnp.float64)
-        return jnp.where(m > 0, pow2, 1.0)
+        mf = m.astype(jnp.float32) * jnp.float32(1.00001)
+        bits = jax.lax.bitcast_convert_type(mf, jnp.uint32)
+        expo = (bits >> 23) & jnp.uint32(0xFF)
+        frac = bits & jnp.uint32((1 << 23) - 1)
+        # ceil: bump the exponent unless mf is already a power of two
+        expo = expo + jnp.where(frac != 0, 1, 0).astype(jnp.uint32)
+        pow2 = jax.lax.bitcast_convert_type(expo << 23, jnp.float32)
+        return jnp.where(m > 0, pow2.astype(jnp.float64), 1.0)
 
     sa = env2(ea)
     sb = env2(eb)
-    ra = a / sa[:, :, None]                               # |ra| <= 1
-    rb = b / sb[:, None, :]
+    # divide by a power of two as a multiply by its exact reciprocal:
+    # emulated-f64 division on TPU is an iterative many-op sequence,
+    # and these elementwise passes run over the full operands
+    ra = a * (1.0 / sa)[:, :, None]                       # |ra| <= 1
+    rb = b * (1.0 / sb)[:, None, :]
     # floor slicing to the fixed 2^(-q(s+1)) grid; remainders stay exact
     def slices(r, S):
         out = []
@@ -919,7 +930,7 @@ def _mm_oz(a, b):
             u = float(2 ** (q * (s + 1)))
             x = jnp.floor(r * u)
             out.append(x.astype(jnp.bfloat16))            # |x| <= 2^q
-            r = r - x / u
+            r = r - x * (1.0 / u)
         return out
 
     A = slices(ra, T + 1)

@@ -82,44 +82,34 @@ def main():
 
             t_trsm = bench(trsms, F)
 
-            # (c) trailing updates: the _mm sequence of the panel loop
-            @jax.jit
-            def trailing(F):
-                acc = jnp.zeros((), dt)
+            # (c)/(d) trailing updates: one program PER PANEL STEP — an
+            # unrolled all-steps program materializes every step's
+            # (B, rest, rest) partial as an HLO temp (21.7 GB compile OOM
+            # at the first shape, 2026-08-20); the real factor runs these
+            # as sequential per-step regions inside _partial_factor_body
+            def step_shapes():
                 for t in range(nb):
                     off = t * PANEL
                     T = min(PANEL, P - off)
                     rest = N - off - T
-                    if rest <= 0:
-                        continue
-                    Lr = jax.lax.dynamic_slice(F, (0, off + T, off),
-                                               (B, N - off - T, T))
-                    A12 = jax.lax.dynamic_slice(F, (0, off, off + T),
-                                                (B, T, rest))
-                    acc = acc + _mm(Lr, A12).sum()
-                return acc
+                    if rest > 0:
+                        yield off, T, rest
 
-            t_tr = bench(trailing, F)
+            def bench_trailing(mm_fn, cast64):
+                tot = 0.0
+                for off, T, rest in step_shapes():
+                    fn = jax.jit(lambda Lr, A12: mm_fn(Lr, A12).sum())
+                    Lr = F[:, off + T:, off:off + T]
+                    A12 = F[:, off:off + T, off + T:off + T + rest]
+                    if cast64:
+                        Lr = Lr.astype(jnp.float64)
+                        A12 = A12.astype(jnp.float64)
+                    tot += bench(fn, Lr, A12)
+                return tot
 
-            # (d) trailing updates through the exact-slice bf16 GEMM
-            @jax.jit
-            def trailing_oz(F):
-                acc = jnp.zeros((), dt)
-                for t in range(nb):
-                    off = t * PANEL
-                    T = min(PANEL, P - off)
-                    rest = N - off - T
-                    if rest <= 0:
-                        continue
-                    Lr = jax.lax.dynamic_slice(F, (0, off + T, off),
-                                               (B, N - off - T, T))
-                    A12 = jax.lax.dynamic_slice(F, (0, off, off + T),
-                                                (B, T, rest))
-                    acc = acc + _mm_oz(Lr.astype(jnp.float64),
-                                       A12.astype(jnp.float64)).sum()
-                return acc
-
-            t_oz = bench(trailing_oz, F) if dt == jnp.float64 else 0.0
+            t_tr = bench_trailing(_mm, False)
+            t_oz = (bench_trailing(_mm_oz, dt != jnp.float64)
+                    if dt == jnp.float64 else 0.0)
 
             # (e) the solve-side pivot-block packing (full explicit
             # inverse at gx3's adaptive pack_bs = maxP)
