@@ -245,6 +245,10 @@ def main():
                    help="run N Newton-Krylov outer iterations (new values, "
                         "same pattern: assemble + refactor + solve each) "
                         "and report the per-iteration cost table")
+    p.add_argument("--skip-smoke", action="store_true",
+                   help="skip the on-chip kernel smoke gate (A/B "
+                        "exploration re-runs in a session where the gate "
+                        "already passed; the driver's run keeps the gate)")
     args = p.parse_args()
 
     # kernel gate (VERDICT round-3 item 7): refuse to benchmark with a
@@ -252,9 +256,13 @@ def main():
     # surface here, named, in ~1 min, not mid-way through the timed run.
     # rc 2 = non-TPU backend (simulated mesh), nothing to smoke.
     import subprocess
-    smoke = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "pallas_smoke.py")],
-        capture_output=True, text=True, timeout=900)
+    if args.skip_smoke:
+        smoke = subprocess.CompletedProcess([], 0, stdout="", stderr="")
+    else:
+        smoke = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "scripts", "pallas_smoke.py")],
+            capture_output=True, text=True, timeout=900)
     print(smoke.stdout.strip(), file=sys.stderr)
     if smoke.returncode not in (0, 2):
         print(json.dumps({

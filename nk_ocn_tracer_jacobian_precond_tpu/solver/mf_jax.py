@@ -853,14 +853,15 @@ def _mm(a, b):
     return out[:, :, :N] if pad else out
 
 
-# Ozaki-scheme slice count: pairs (sa, sb) with sa + sb <= OZ_TERMS are
-# kept; dropped cross terms bound the error at ~K * 2^(-8*(OZ_TERMS+1))
-# relative to rowmax(a) * colmax(b) — OZ_TERMS=6 is ~2^-49*K, the same
-# working-precision class as the df64 Pallas panel, and costs 28 bf16
-# GEMMs. NK_MM_OZ_TERMS tunes; NK_MM_OZ=0 kills the whole path (the
-# trailing updates fall back to XLA's emulated-f64 dot).
-_OZ_TERMS = int(_os.environ.get("NK_MM_OZ_TERMS", "6"))
-_OZ_Q = 8                      # bits per slice (integer grid, see below)
+# Ozaki-scheme slice count S: each operand splits into S integer-grid
+# slices of q bits; diagonals d = s+t in 0..S-1 are kept, so the
+# dropped cross terms + final remainders bound the error at
+# ~S * K * 2^(-q*(S+1)) relative to rowmax(a) * colmax(b) — q=6, S=10
+# is ~2^-60 * S * K, the same working-precision class as the df64
+# Pallas panel. NK_MM_OZ_TERMS tunes; NK_MM_OZ=0 kills the whole path
+# (the trailing updates fall back to XLA's emulated-f64 dot).
+_OZ_TERMS = int(_os.environ.get("NK_MM_OZ_TERMS", "10"))
+_OZ_Q = 6                      # bits per slice (integer grid, see below)
 
 
 def _mm_oz(a, b):
@@ -878,7 +879,7 @@ def _mm_oz(a, b):
     each slice is an INTEGER multiple of its grid step with |int| <= 2^q
     (floor slicing; the subtraction r - A_s is exact in f64 because A_s
     is the top bits of r). Every slice is exactly representable in
-    bfloat16 (q = 8 <= bf16's 8 significand bits), every MXU product of
+    bfloat16 (q = 6 <= bf16's 8 significand bits), every MXU product of
     two slices is an integer < 2^(2q) exactly representable in the f32
     accumulator, and a K-chunk of <= 2^(24-2q) products sums EXACTLY in
     f32 — so each bf16 GEMM is error-free and the only inaccuracy is the
@@ -890,9 +891,9 @@ def _mm_oz(a, b):
     """
     B, M, K = a.shape
     N = b.shape[-1]
-    T = _OZ_TERMS
+    S = _OZ_TERMS
     q = _OZ_Q
-    kc = 1 << (24 - 2 * q)          # K-chunk for exact f32 accumulation
+    C = 1 << (24 - 2 * q)        # max exactly-f32-accumulated columns
     # per-row / per-column power-of-two envelopes (exact scales)
     ea = jnp.max(jnp.abs(a), axis=2)                      # (B, M)
     eb = jnp.max(jnp.abs(b), axis=1)                      # (B, N)
@@ -933,27 +934,44 @@ def _mm_oz(a, b):
             r = r - x * (1.0 / u)
         return out
 
-    A = slices(ra, T + 1)
-    Bs = slices(rb, T + 1)
-    # K-chunked exact bf16 GEMMs, f64 accumulation across chunks and
-    # across slice pairs; fold the 2^(-q(s+t+2)) grid steps per pair
-    npad = (-K) % kc
-    nch = (K + npad) // kc
+    # STACKED-DIAGONAL evaluation. Naive pair enumeration is S(S+1)/2
+    # GEMMs + as many full-size f64 accumulates; at gx3's panel loop
+    # that was a 24.7 GB compile-OOM (28 concurrent 784 MB partials,
+    # 2026-08-20) and, barrier-serialized, a runtime HBM OOM from 2S
+    # live slice arrays. Instead: stack A's slices along K and B's
+    # slices along K IN REVERSE, so the whole diagonal
+    #   sum_{s+t=d} A_s @ B_t
+    # is ONE contiguous-static-slice GEMM:
+    #   Astk[:, :, :(d+1)K] @ Bstk[:, (S-1-d)K:, :]
+    # (block s of the A prefix meets row-block (S-1-d)+s of Bstk, i.e.
+    # B_{d-s} — the reversed stack makes every diagonal a suffix).
+    # All kept work is S GEMMs over two bf16 buffers, each exact in the
+    # f32 accumulator while (d+1)K <= 2^(24-2q) (C-chunked past that),
+    # and only S f64 accumulates touch the (B,M,N) output. The
+    # optimization_barrier chains the accumulator into each GEMM's
+    # operand so XLA schedules one f32 partial at a time.
+    A = slices(ra, S)
+    Bs = slices(rb, S)
+    Astk = jnp.concatenate(A, axis=2)           # [A_0 | A_1 | ... ]
+    Bstk = jnp.concatenate(Bs[::-1], axis=1)    # [B_{S-1}; ...; B_0]
     out = jnp.zeros((B, M, N), jnp.float64)
-    for s in range(T + 1):
-        for t in range(T + 1 - s):
-            scale = float(2.0 ** (-q * (s + t + 2)))
-            for c in range(nch):
-                lo = c * kc
-                hi = min(lo + kc, K)
-                # each chunk's f32 result is EXACT (<= 2^(24-2q) products
-                # of 2^q-bounded integers); chunks accumulate in f64 —
-                # an f32 cross-chunk sum would round past 24 bits
-                p = jax.lax.dot_general(
-                    A[s][:, :, lo:hi], Bs[t][:, lo:hi, :],
-                    (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)
-                out = out + p.astype(jnp.float64) * scale
+    for d in range(S):
+        scale = float(2.0 ** (-q * (d + 2)))
+        L = (d + 1) * K
+        off = (S - 1 - d) * K
+        for lo in range(0, L, C):
+            hi = min(lo + C, L)
+            As_c, out = jax.lax.optimization_barrier(
+                (jax.lax.slice_in_dim(Astk, lo, hi, axis=2), out))
+            # each chunk's f32 result is EXACT (<= C products of
+            # 2^q-bounded integers); chunks/diagonals accumulate in
+            # f64 — an f32 cross-chunk sum would round past 24 bits
+            p = jax.lax.dot_general(
+                As_c,
+                jax.lax.slice_in_dim(Bstk, off + lo, off + hi, axis=1),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            out = out + p.astype(jnp.float64) * scale
     return out * sa[:, :, None] * sb[:, None, :]
 
 
