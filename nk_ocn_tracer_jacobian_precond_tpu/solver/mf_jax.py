@@ -950,29 +950,55 @@ def _mm_oz(a, b):
     # and only S f64 accumulates touch the (B,M,N) output. The
     # optimization_barrier chains the accumulator into each GEMM's
     # operand so XLA schedules one f32 partial at a time.
-    A = slices(ra, S)
-    Bs = slices(rb, S)
-    Astk = jnp.concatenate(A, axis=2)           # [A_0 | A_1 | ... ]
-    Bstk = jnp.concatenate(Bs[::-1], axis=1)    # [B_{S-1}; ...; B_0]
-    out = jnp.zeros((B, M, N), jnp.float64)
-    for d in range(S):
-        scale = float(2.0 ** (-q * (d + 2)))
-        L = (d + 1) * K
-        off = (S - 1 - d) * K
-        for lo in range(0, L, C):
-            hi = min(lo + C, L)
-            As_c, out = jax.lax.optimization_barrier(
-                (jax.lax.slice_in_dim(Astk, lo, hi, axis=2), out))
-            # each chunk's f32 result is EXACT (<= C products of
-            # 2^q-bounded integers); chunks/diagonals accumulate in
-            # f64 — an f32 cross-chunk sum would round past 24 bits
-            p = jax.lax.dot_general(
-                As_c,
-                jax.lax.slice_in_dim(Bstk, off + lo, off + hi, axis=1),
-                (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
-            out = out + p.astype(jnp.float64) * scale
-    return out * sa[:, :, None] * sb[:, None, :]
+    Bstk = jnp.concatenate(slices(rb, S)[::-1], axis=1)  # [B_{S-1};..;B_0]
+
+    def diag_accum(ra_c, acc):
+        # slice the (row-chunk of the) A operand and run the S diagonal
+        # GEMMs, f64-accumulating into acc (same leading shape as ra_c)
+        Astk = jnp.concatenate(slices(ra_c, S), axis=2)  # [A_0 | A_1 |..]
+        for d in range(S):
+            scale = float(2.0 ** (-q * (d + 2)))
+            L = (d + 1) * K
+            off = (S - 1 - d) * K
+            for lo in range(0, L, C):
+                hi = min(lo + C, L)
+                As_c, acc = jax.lax.optimization_barrier(
+                    (jax.lax.slice_in_dim(Astk, lo, hi, axis=2), acc))
+                # each chunk's f32 result is EXACT (<= C products of
+                # 2^q-bounded integers); chunks/diagonals accumulate in
+                # f64 — an f32 cross-chunk sum would round past 24 bits
+                p = jax.lax.dot_general(
+                    As_c,
+                    jax.lax.slice_in_dim(Bstk, off + lo, off + hi,
+                                         axis=1),
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                acc = acc + p.astype(jnp.float64) * scale
+        return acc
+
+    # bound the per-step working set (acc f64 + partial f32 + Astk bf16
+    # ~ 12*B*mc*N + 2S*B*mc*K bytes) by chunking the output-row axis —
+    # same discipline as _mm: the fori body's temps are one chunk's,
+    # reused across iterations, and the carry is the real output buffer.
+    # At gx3's biggest round the unchunked form's full-front acc + p +
+    # slice stacks ran the chip out of HBM at runtime (2026-08-21).
+    mc = M
+    if 12 * B * M * N > _F64_MM_BUDGET:
+        mc = max(128, _F64_MM_BUDGET // (12 * B * N) // 128 * 128)
+    if mc >= M:
+        out = diag_accum(ra, jnp.zeros((B, M, N), jnp.float64))
+        return out * sa[:, :, None] * sb[:, None, :]
+    pad = (-M) % mc
+    rap = jnp.pad(ra, ((0, 0), (0, pad), (0, 0))) if pad else ra
+
+    def body(i, o):
+        rc = jax.lax.dynamic_slice(rap, (0, i * mc, 0), (B, mc, K))
+        oc = diag_accum(rc, jnp.zeros((B, mc, N), jnp.float64))
+        return jax.lax.dynamic_update_slice(o, oc, (0, i * mc, 0))
+
+    out = jax.lax.fori_loop(0, (M + pad) // mc, body,
+                            jnp.zeros((B, M + pad, N), jnp.float64))
+    return out[:, :M] * sa[:, :, None] * sb[:, None, :]
 
 
 def _oz_enabled(dtype) -> bool:

@@ -64,6 +64,18 @@ def test_mm_oz_zero_rows_and_exact_powers():
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-15)
 
 
+def test_mm_oz_row_chunked_matches_unchunked(monkeypatch):
+    """The memory-lawful output-row chunking (fori over mc-row blocks)
+    must produce bit-identical results to the single-shot form — the
+    diagonal GEMMs are exact, so chunk boundaries cannot change any
+    rounding."""
+    a, b = _adversarial(1, 300, 128, 64, seed=7)
+    full = np.asarray(_mm_oz(jnp.asarray(a), jnp.asarray(b)))
+    monkeypatch.setattr(mf_jax, "_F64_MM_BUDGET", 1)  # force mc=128 < M
+    chunked = np.asarray(_mm_oz(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_array_equal(full, chunked)
+
+
 def test_oz_enabled_gates(monkeypatch):
     monkeypatch.setenv("NK_MM_OZ", "0")
     assert not _oz_enabled(jnp.float64)
