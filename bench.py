@@ -245,6 +245,8 @@ def main():
                    help="run N Newton-Krylov outer iterations (new values, "
                         "same pattern: assemble + refactor + solve each) "
                         "and report the per-iteration cost table")
+    p.add_argument("--_measure", action="store_true",
+                   help=argparse.SUPPRESS)  # ladder child (see main)
     p.add_argument("--skip-smoke", action="store_true",
                    help="skip the on-chip kernel smoke gate (A/B "
                         "exploration re-runs in a session where the gate "
@@ -298,25 +300,52 @@ def main():
                       prec=args.prec)
         return
     # fail-soft ladder: the fastest f64 path (wave extend-add + Ozaki
-    # exact-slice GEMMs) has the tightest HBM footprint; if a config
-    # exhausts device memory, degrade one mechanism at a time down to
-    # the round-4-proven baseline config rather than record no number.
-    ladder = [{}, {"NK_MM_OZ": "0"}, {"NK_MM_OZ": "0", "NK_EA_WAVES": "0"}]
-    degraded = None
-    for i, env in enumerate(ladder):
-        os.environ.update(env)
-        try:
-            m = bench_mf(matrix, maps, B, args.tol, args.impl,
-                         prec=args.prec)
-            degraded = env or None
-            break
-        except Exception as e:
-            if i + 1 == len(ladder) or "RESOURCE_EXHAUSTED" not in str(e):
-                raise
-            print(f"# config {env or 'default'} exhausted device memory; "
-                  f"degrading to {ladder[i + 1]}", file=sys.stderr)
-            import gc
-            gc.collect()
+    # exact-slice GEMMs) has the tightest HBM footprint AND exercises
+    # program shapes that can wedge the remote XLA:TPU compiler (a hang,
+    # not an error — observed 2026-08-21, >20 min in one compile). Each
+    # config therefore runs in a SUBPROCESS under a timeout; on OOM,
+    # crash, or hang, degrade one mechanism at a time down to the
+    # round-4-proven config rather than record no number. The child is
+    # this same script with --_measure (skips ladder + smoke; problem
+    # and scipy baseline are disk-cached, so re-setup costs seconds).
+    if not args._measure and args.prec == "f64":
+        # middle rung keeps the Ozaki GEMM and drops the wave EA — the
+        # reverse combination (waves + emulated-f64 pf) wedged the
+        # remote compiler >20 min on 2026-08-21 and is not retried
+        ladder = [{}, {"NK_EA_WAVES": "0"},
+                  {"NK_MM_OZ": "0", "NK_EA_WAVES": "0"}]
+        cfg_timeout = float(os.environ.get("NK_BENCH_CFG_TIMEOUT", "1500"))
+        child_args = [sys.executable, os.path.abspath(__file__),
+                      "--_measure", "--skip-smoke", "--reuse-baseline",
+                      "--size", args.size, "--prec", args.prec,
+                      "--impl", args.impl, "--nrhs", str(args.nrhs),
+                      "--tol", str(args.tol), "--cache", args.cache]
+        for i, env in enumerate(ladder):
+            last = i + 1 == len(ladder)
+            try:
+                r = subprocess.run(
+                    child_args, env={**os.environ, **env},
+                    stdout=subprocess.PIPE, text=True,
+                    timeout=None if last else cfg_timeout)
+            except subprocess.TimeoutExpired:
+                print(f"# config {env or 'default'} timed out after "
+                      f"{cfg_timeout:.0f}s; degrading to {ladder[i + 1]}",
+                      file=sys.stderr)
+                continue
+            if r.returncode == 0 and r.stdout.strip():
+                line = r.stdout.strip().splitlines()[-1]
+                res = json.loads(line)
+                if env:
+                    res["degraded_config"] = env
+                print(json.dumps(res))
+                return
+            if last:
+                sys.exit(r.returncode or 1)
+            print(f"# config {env or 'default'} failed "
+                  f"(rc={r.returncode}); degrading to {ladder[i + 1]}",
+                  file=sys.stderr)
+        return
+    m = bench_mf(matrix, maps, B, args.tol, args.impl, prec=args.prec)
 
     ok = m["res"] <= 1e-10
     ours = m["factor"] + m["solve"]
@@ -359,8 +388,6 @@ def main():
     if os.path.exists(gx1_res):
         with open(gx1_res) as f:
             out["gx1_production"] = json.load(f)
-    if degraded:
-        out["degraded_config"] = degraded
     print(json.dumps(out))
 
 
